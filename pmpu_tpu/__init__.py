@@ -1,0 +1,20 @@
+"""pmpu_tpu — TPU-native Probabilistic Multiplanar U-Net framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+``qzs634/Probabilistic-Multiplanar-Unet`` (reference mounted at
+``/root/reference``): multi-planar NIfTI slice sampling, deterministic and
+probabilistic (CVAE) U-Nets, ELBO training, and fused multi-view 3D
+evaluation — built TPU-first:
+
+* all math is XLA-compiled (``jax.jit``), NHWC layout, bfloat16-capable;
+* the multi-planar slice sampler is device-resident (XLA gather /
+  Pallas kernel) instead of the reference's per-slice host NIfTI reload
+  (reference ``utils/mri_dataset.py:124-127``);
+* whole-volume multi-view inference runs as one on-device batched pipeline
+  instead of a batch-size-1 host loop (reference ``eval.py:131-216``);
+* scaling is expressed with ``jax.sharding.Mesh`` + XLA collectives.
+"""
+
+__version__ = "0.1.0"
+
+from pmpu_tpu.models import UNet, ProbabilisticUNet  # noqa: F401

@@ -1,0 +1,182 @@
+"""Minimal, dependency-free NIfTI-1 reader/writer (numpy only).
+
+The reference uses nibabel for all volume IO (``utils/mri_dataset.py``,
+``Utils/nii.py``, ``eval.py:51-57``); nibabel is not in this image, so this
+module implements the NIfTI-1 single-file (``.nii`` / ``.nii.gz``) format
+directly: 348-byte header, optional extensions, data at ``vox_offset``,
+``scl_slope``/``scl_inter`` scaling (what nibabel's ``get_fdata`` applies).
+
+A C++ fast path for bulk volume loading lives in ``pmpu_tpu.data.native``;
+this pure-python implementation is the always-available fallback and the
+oracle for its tests.
+"""
+
+from __future__ import annotations
+
+import gzip
+import struct
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+
+# NIfTI-1 datatype codes → numpy dtypes
+_DTYPES = {
+    2: np.uint8,
+    4: np.int16,
+    8: np.int32,
+    16: np.float32,
+    64: np.float64,
+    256: np.int8,
+    512: np.uint16,
+    768: np.uint32,
+    1024: np.int64,
+    1280: np.uint64,
+}
+_DTYPE_CODES = {np.dtype(v): k for k, v in _DTYPES.items()}
+
+HDR_SIZE = 348
+
+
+@dataclass
+class NiftiHeader:
+    dim: tuple = (3, 1, 1, 1, 1, 1, 1, 1)
+    datatype: int = 16
+    bitpix: int = 32
+    pixdim: tuple = (1.0,) * 8
+    vox_offset: float = 352.0
+    scl_slope: float = 0.0
+    scl_inter: float = 0.0
+    qform_code: int = 0
+    sform_code: int = 1
+    srow: np.ndarray = field(default_factory=lambda: np.eye(4, dtype=np.float32)[:3])
+    descrip: bytes = b"pmpu_tpu"
+    magic: bytes = b"n+1\x00"
+
+    @property
+    def shape(self) -> tuple:
+        nd = self.dim[0]
+        return tuple(int(d) for d in self.dim[1 : 1 + nd])
+
+    @property
+    def affine(self) -> np.ndarray:
+        a = np.eye(4, dtype=np.float64)
+        if self.sform_code > 0:
+            a[:3] = self.srow
+        return a
+
+
+def _open(path, mode="rb"):
+    p = str(path)
+    if p.endswith(".gz"):
+        return gzip.open(p, mode)
+    return open(p, mode)
+
+
+def read_header(path) -> NiftiHeader:
+    with _open(path) as f:
+        raw = f.read(HDR_SIZE)
+    if len(raw) < HDR_SIZE:
+        raise ValueError(f"{path}: truncated NIfTI header ({len(raw)} bytes)")
+    (sizeof_hdr,) = struct.unpack("<i", raw[0:4])
+    endian = "<"
+    if sizeof_hdr != HDR_SIZE:
+        (sizeof_hdr,) = struct.unpack(">i", raw[0:4])
+        if sizeof_hdr != HDR_SIZE:
+            raise ValueError(f"{path}: not a NIfTI-1 file (sizeof_hdr={sizeof_hdr})")
+        endian = ">"
+
+    def unpack(fmt, off, n):
+        return struct.unpack(f"{endian}{fmt}", raw[off : off + n])
+
+    dim = unpack("8h", 40, 16)
+    (datatype,) = unpack("h", 70, 2)
+    (bitpix,) = unpack("h", 72, 2)
+    pixdim = unpack("8f", 76, 32)
+    (vox_offset,) = unpack("f", 108, 4)
+    (scl_slope,) = unpack("f", 112, 4)
+    (scl_inter,) = unpack("f", 116, 4)
+    (qform_code,) = unpack("h", 252, 2)
+    (sform_code,) = unpack("h", 254, 2)
+    srow = np.array(
+        [unpack("4f", 280, 16), unpack("4f", 296, 16), unpack("4f", 312, 16)],
+        dtype=np.float32,
+    )
+    magic = raw[344:348]
+    if magic not in (b"n+1\x00", b"ni1\x00"):
+        raise ValueError(f"{path}: bad NIfTI magic {magic!r}")
+    return NiftiHeader(
+        dim=dim,
+        datatype=int(datatype),
+        bitpix=int(bitpix),
+        pixdim=pixdim,
+        vox_offset=float(vox_offset),
+        scl_slope=float(scl_slope),
+        scl_inter=float(scl_inter),
+        qform_code=int(qform_code),
+        sform_code=int(sform_code),
+        srow=srow,
+        descrip=raw[148:228].rstrip(b"\x00"),
+        magic=magic,
+    )
+
+
+def load(path, dtype=np.float32) -> np.ndarray:
+    """Read volume data, applying scl_slope/inter (nibabel ``get_fdata``
+    semantics — used throughout the reference, e.g. ``mri_dataset.py:124``).
+    Returns Fortran-order-decoded data as a C-contiguous array of ``dtype``."""
+    hdr = read_header(path)
+    if hdr.datatype not in _DTYPES:
+        raise ValueError(f"{path}: unsupported NIfTI datatype {hdr.datatype}")
+    np_dtype = np.dtype(_DTYPES[hdr.datatype])
+    shape = hdr.shape
+    count = int(np.prod(shape))
+    with _open(path) as f:
+        f.seek(int(hdr.vox_offset))
+        buf = f.read(count * np_dtype.itemsize)
+    if len(buf) < count * np_dtype.itemsize:
+        raise ValueError(f"{path}: truncated data section")
+    arr = np.frombuffer(buf, dtype=np_dtype, count=count)
+    # NIfTI data is Fortran (column-major) ordered
+    arr = arr.reshape(shape, order="F")
+    out = arr.astype(dtype)
+    slope, inter = hdr.scl_slope, hdr.scl_inter
+    if slope not in (0.0, 1.0) or inter != 0.0:
+        s = slope if slope != 0.0 else 1.0
+        out = out * dtype(s) + dtype(inter)
+    return np.ascontiguousarray(out)
+
+
+def save(path, data: np.ndarray, affine: np.ndarray | None = None) -> None:
+    """Write a single-file NIfTI-1 (.nii or .nii.gz). Default affine is
+    identity — matching the reference's exports (``eval.py:51-57``,
+    ``Utils/nii.py:92-104`` use ``affine=np.eye(4)``)."""
+    data = np.asarray(data)
+    if data.dtype not in _DTYPE_CODES:
+        data = data.astype(np.float32)
+    if affine is None:
+        affine = np.eye(4)
+    nd = data.ndim
+    dim = [nd] + list(data.shape) + [1] * (7 - nd)
+
+    hdr = bytearray(HDR_SIZE)
+    struct.pack_into("<i", hdr, 0, HDR_SIZE)
+    struct.pack_into("<8h", hdr, 40, *dim)
+    struct.pack_into("<h", hdr, 70, _DTYPE_CODES[data.dtype])
+    struct.pack_into("<h", hdr, 72, data.dtype.itemsize * 8)
+    struct.pack_into("<8f", hdr, 76, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0)
+    struct.pack_into("<f", hdr, 108, 352.0)  # vox_offset
+    struct.pack_into("<f", hdr, 112, 1.0)  # scl_slope
+    struct.pack_into("<f", hdr, 116, 0.0)  # scl_inter
+    hdr[148 : 148 + 8] = b"pmpu_tpu"
+    struct.pack_into("<h", hdr, 252, 0)  # qform_code
+    struct.pack_into("<h", hdr, 254, 1)  # sform_code
+    struct.pack_into("<4f", hdr, 280, *affine[0])
+    struct.pack_into("<4f", hdr, 296, *affine[1])
+    struct.pack_into("<4f", hdr, 312, *affine[2])
+    hdr[344:348] = b"n+1\x00"
+
+    payload = bytes(hdr) + b"\x00" * 4 + np.asfortranarray(data).tobytes(order="F")
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    with _open(path, "wb") as f:
+        f.write(payload)

@@ -1,0 +1,160 @@
+"""Device-resident multi-planar slice sampler.
+
+The reference samples 2-D planes from 3-D volumes on the host with numpy
+fancy-indexing, per slice, re-reading the NIfTI from disk every time
+(``utils/mri_dataset.py:70-82,117-142``). Here the padded volume stack lives
+in device HBM and slices are gathered *inside* the jitted step:
+
+* ``take_plane``      — axis-aligned plane: exact parity with the
+                        reference's hardcoded 3-view slicing.
+* ``sample_batch``    — vmapped (scan, view, slice)-triple gather +
+                        per-slice max normalization (``mri_dataset.py:101-112``).
+* ``oblique_plane``   — arbitrary view axis via trilinear interpolation
+                        (the generalization left as a TODO at
+                        ``mri_dataset.py:71``; BASELINE config "6-view
+                        isotropic sampling"). Integer axis-aligned inputs
+                        reduce to ``take_plane`` exactly.
+* ``fibonacci_views`` — k near-isotropically distributed unit view axes.
+
+A fused Pallas gather+normalize kernel for the hot path lives in
+``pmpu_tpu.ops.pallas.slice_gather``; these XLA versions are the reference
+implementations and the fallback on non-TPU backends.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def take_plane(volume: jax.Array, view, idx) -> jax.Array:
+    """Slice a (S,S,S) volume along axis ``view`` at ``idx``.
+
+    view 0 → volume[idx,:,:]; 1 → volume[:,idx,:]; 2 → volume[:,:,idx]
+    (reference ``mri_dataset.py:70-82``). ``view``/``idx`` may be traced.
+    """
+    branches = [
+        lambda v: jax.lax.dynamic_index_in_dim(v, idx, 0, keepdims=False),
+        lambda v: jax.lax.dynamic_index_in_dim(v, idx, 1, keepdims=False),
+        lambda v: jax.lax.dynamic_index_in_dim(v, idx, 2, keepdims=False),
+    ]
+    return jax.lax.switch(view, branches, volume)
+
+
+def normalize_slice(img: jax.Array) -> jax.Array:
+    """Per-slice max normalization: divide by max iff max != 0
+    (reference ``mri_dataset.py:101-112``)."""
+    m = jnp.max(img)
+    return jnp.where(m == 0, img, img / m)
+
+
+@functools.partial(jax.jit, donate_argnums=())
+def sample_batch(images: jax.Array, labels: jax.Array, triples: jax.Array):
+    """Gather a batch of normalized image slices + integer mask slices.
+
+    images: (N,S,S,S) float; labels: (N,S,S,S) int; triples: (B,3) int32
+    rows (scan, view, slice). Returns (imgs (B,S,S,1) f32, masks (B,S,S,1) i32).
+    """
+
+    def one(tr):
+        scan, view, sl = tr[0], tr[1], tr[2]
+        img_vol = jax.lax.dynamic_index_in_dim(images, scan, 0, keepdims=False)
+        lbl_vol = jax.lax.dynamic_index_in_dim(labels, scan, 0, keepdims=False)
+        img = normalize_slice(take_plane(img_vol, view, sl))
+        msk = take_plane(lbl_vol, view, sl)
+        return img[..., None].astype(jnp.float32), msk[..., None]
+
+    return jax.vmap(one)(triples)
+
+
+# ---------------------------------------------------------------------------
+# Arbitrary-axis (oblique) sampling — the reference's TODO (mri_dataset.py:71)
+# ---------------------------------------------------------------------------
+
+
+def view_basis(normal: np.ndarray) -> np.ndarray:
+    """Right-handed orthonormal (u, v, n) basis for a unit view axis ``n``."""
+    n = np.asarray(normal, dtype=np.float64)
+    n = n / np.linalg.norm(n)
+    helper = np.array([0.0, 0.0, 1.0]) if abs(n[2]) < 0.9 else np.array([1.0, 0.0, 0.0])
+    u = np.cross(helper, n)
+    u /= np.linalg.norm(u)
+    v = np.cross(n, u)
+    return np.stack([u, v, n]).astype(np.float32)
+
+
+def fibonacci_views(k: int) -> np.ndarray:
+    """k unit axes ~uniform on the half-sphere (golden-spiral), k=3 → the
+    standard axes for exact reference parity."""
+    if k == 3:
+        return np.eye(3, dtype=np.float32)
+    i = np.arange(k, dtype=np.float64) + 0.5
+    phi = np.arccos(1.0 - i / k)  # polar on upper half sphere
+    theta = np.pi * (1.0 + 5**0.5) * i
+    pts = np.stack(
+        [np.sin(phi) * np.cos(theta), np.sin(phi) * np.sin(theta), np.cos(phi)], axis=1
+    )
+    return pts.astype(np.float32)
+
+
+def trilinear(volume: jax.Array, coords: jax.Array) -> jax.Array:
+    """Trilinear interpolation of ``volume`` (S,S,S) at ``coords`` (..., 3)
+    in voxel units; zero outside the volume (matching the zero-padding
+    semantics of ``mri_dataset.py:85-98``)."""
+    s = volume.shape
+    c0 = jnp.floor(coords)
+    frac = coords - c0
+    c0 = c0.astype(jnp.int32)
+
+    def gather(offset):
+        idx = c0 + jnp.asarray(offset, jnp.int32)
+        valid = jnp.all((idx >= 0) & (idx < jnp.asarray(s)), axis=-1)
+        idxc = jnp.clip(idx, 0, jnp.asarray(s) - 1)
+        vals = volume[idxc[..., 0], idxc[..., 1], idxc[..., 2]]
+        return jnp.where(valid, vals, 0.0)
+
+    out = 0.0
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                w = (
+                    (frac[..., 0] if dx else 1 - frac[..., 0])
+                    * (frac[..., 1] if dy else 1 - frac[..., 1])
+                    * (frac[..., 2] if dz else 1 - frac[..., 2])
+                )
+                out = out + w * gather((dx, dy, dz))
+    return out
+
+
+def oblique_plane(
+    volume: jax.Array,
+    basis: jax.Array,
+    offset,
+    out_size: int | None = None,
+    nearest: bool = False,
+) -> jax.Array:
+    """Sample the plane at signed distance ``offset`` (from the cube center)
+    along basis row 2 (the view normal), spanned by basis rows 0-1.
+
+    With an axis-aligned basis and integer offsets this reproduces
+    ``take_plane`` bit-exactly (tested). ``nearest=True`` rounds coordinates
+    (for label volumes).
+    """
+    s = volume.shape[0]
+    size = out_size or s
+    center = (s - 1) / 2.0
+    grid = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
+    uu, vv = jnp.meshgrid(grid, grid, indexing="ij")
+    basis = jnp.asarray(basis, jnp.float32)
+    coords = (
+        center
+        + uu[..., None] * basis[0]
+        + vv[..., None] * basis[1]
+        + offset * basis[2]
+    )
+    if nearest:
+        coords = jnp.round(coords)
+    return trilinear(volume, coords)

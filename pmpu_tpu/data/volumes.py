@@ -1,0 +1,99 @@
+"""Host-side volume store: each NIfTI volume is loaded ONCE and padded to a
+cube, then the whole dataset lives as stacked arrays ready for device upload.
+
+This replaces the reference's pathological IO pattern of re-reading both
+full NIfTI volumes from disk for every single 2-D slice
+(``utils/mri_dataset.py:124-127``) with a load-once array pool; slice
+extraction then happens on-device (``pmpu_tpu.data.sampler``).
+
+Pad-to-cube semantics match ``mri_dataset.py:85-98``: zero-pad the smaller
+axes *at the end* up to the volume's max dimension. (The reference only pads
+the single argmin axis per call; for volumes where two axes are short this
+under-pads — we pad all short axes, which is the evident intent and is
+identical for the reference's two-equal-axes data.)
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from pmpu_tpu.data import nifti
+
+
+def pad_to_cube(vol: np.ndarray, size: int | None = None) -> np.ndarray:
+    """Zero-pad a 3-D volume at the high end of each axis to ``size``
+    (default: its own max dimension) — reference ``mri_dataset.py:85-98``."""
+    target = int(max(vol.shape)) if size is None else int(size)
+    pads = [(0, target - s) for s in vol.shape]
+    if any(p[1] < 0 for p in pads):
+        raise ValueError(f"volume {vol.shape} larger than target cube {target}")
+    if all(p[1] == 0 for p in pads):
+        return vol
+    return np.pad(vol, pads)
+
+
+def reference_pad_dimensions(vol: np.ndarray) -> np.ndarray:
+    """Bit-exact replica of the reference's ``pad_dimensions`` (pads only the
+    argmin axis) — kept for sampler parity tests."""
+    dim_diff = int(np.max(vol.shape) - np.min(vol.shape))
+    if dim_diff == 0:
+        return vol
+    ax = int(np.argmin(vol.shape))
+    pads = [(0, 0)] * 3
+    pads[ax] = (0, dim_diff)
+    return np.pad(vol, pads)
+
+
+@dataclass
+class VolumeStore:
+    """Stacked dataset: images (N,S,S,S) float32, labels (N,S,S,S) int32."""
+
+    images: np.ndarray
+    labels: np.ndarray
+    ids: list
+    cube: int
+
+    def __len__(self) -> int:
+        return self.images.shape[0]
+
+    @classmethod
+    def from_dirs(cls, imgs_dir, masks_dir, dtype=np.float32) -> "VolumeStore":
+        """Load a ``{images,labels}`` directory pair (reference data tree
+        layout, ``Utils/nii.py:96-105``). File names are shared between the
+        two dirs (``mri_dataset.py:124-126``)."""
+        ids = sorted(os.listdir(imgs_dir))
+        if not ids:
+            raise FileNotFoundError(f"no volumes in {imgs_dir}")
+        imgs, lbls = [], []
+        for name in ids:
+            img = nifti.load(os.path.join(imgs_dir, name), dtype=dtype)
+            lbl = nifti.load(os.path.join(masks_dir, name), dtype=dtype)
+            if img.shape != lbl.shape:
+                raise ValueError(f"{name}: image {img.shape} != label {lbl.shape}")
+            imgs.append(img)
+            lbls.append(lbl)
+        cube = int(max(max(v.shape) for v in imgs))
+        images = np.stack([pad_to_cube(v, cube) for v in imgs]).astype(dtype)
+        labels = np.stack([pad_to_cube(v, cube) for v in lbls]).astype(np.int32)
+        return cls(images=images, labels=labels, ids=ids, cube=cube)
+
+    @classmethod
+    def from_arrays(cls, images, labels, ids=None) -> "VolumeStore":
+        images = np.asarray(images, dtype=np.float32)
+        labels = np.asarray(labels, dtype=np.int32)
+        ids = ids or [f"vol{i}.nii" for i in range(images.shape[0])]
+        return cls(images=images, labels=labels, ids=list(ids), cube=images.shape[-1])
+
+    @property
+    def image_dims(self) -> tuple:
+        """(S, S, S) — reference ``MRI_Dataset.image_dims`` (max-dim cube of
+        the first image, ``mri_dataset.py:28-30``)."""
+        return (self.cube,) * 3
+
+    @property
+    def slices_per_volume(self) -> int:
+        """dimX+dimY+dimZ slices per volume over the 3 views (``eval.py:114``)."""
+        return 3 * self.cube

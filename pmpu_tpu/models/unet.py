@@ -1,0 +1,194 @@
+"""Deterministic 2-D U-Net, TPU-native (flax.linen, NHWC).
+
+Re-designed from the behavior of the reference
+``model/unet/unet_parts.py:9-76`` and ``model/unet/unet_model.py:9-54``:
+
+* ``DoubleConv``   — 2 × [3×3 conv (pad 1) → BatchNorm → ReLU]
+* ``Down``         — 2×2 max-pool then DoubleConv
+* ``Up``           — 2×2 stride-2 transposed conv (halving channels),
+                     pad-to-match, concat(skip, upsampled), DoubleConv
+* ``OutConv``      — 1×1 conv
+* ``UNet``         — parametric depth from ``num_filters``
+                     (default [64,128,256,512,1024] → 4 down / 4 up),
+                     sigmoid iff ``n_classes == 1``
+                     (``unet_model.py:48-49``), and
+                     ``apply_last_layer=False`` returns the penultimate
+                     ``num_filters[0]``-channel feature map for Fcomb
+                     (``unet_model.py:51-54``).
+
+Layout is NHWC (TPU-preferred); torch-checkpoint import transposes
+OIHW→HWIO (see ``pmpu_tpu.train.checkpoint``). Weight init matches torch
+``Conv2d`` defaults (kaiming_uniform(a=√5)), which is what the reference
+uses for the U-Net backbone (it applies no custom init there).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from pmpu_tpu.models import initializers as pinit
+
+
+class TorchConv(nn.Module):
+    """3×3/1×1 conv with torch's default (kaiming-uniform) init, NHWC."""
+
+    features: int
+    kernel_size: tuple[int, int] = (3, 3)
+    padding: str | int = "SAME"
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = int(x.shape[-1]) * self.kernel_size[0] * self.kernel_size[1]
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = [(pad, pad), (pad, pad)]
+        return nn.Conv(
+            self.features,
+            self.kernel_size,
+            padding=pad,
+            kernel_init=pinit.torch_conv_default(),
+            bias_init=pinit.torch_conv_bias_default(fan_in),
+            name="conv",
+        )(x)
+
+
+class TorchConvTranspose(nn.Module):
+    """2×2 stride-2 transposed conv, torch-equivalent semantics + init.
+
+    ``transpose_kernel=True`` makes flax's op the exact gradient-of-conv that
+    torch ``ConvTranspose2d`` computes, with kernel layout (kh, kw, cout, cin),
+    so torch weights import by pure transposition.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        # torch fan_in for ConvTranspose2d weight (cin, cout, kh, kw) is
+        # cout * kh * kw (dim-1 convention).
+        fan_in = self.features * 2 * 2
+        bound_init = pinit.torch_conv_bias_default(fan_in)
+
+        def kernel_init(key, shape, dtype=jnp.float32):
+            return bound_init(key, shape, dtype)
+
+        return nn.ConvTranspose(
+            self.features,
+            (2, 2),
+            strides=(2, 2),
+            padding="VALID",
+            transpose_kernel=True,
+            kernel_init=kernel_init,
+            bias_init=bound_init,
+            name="conv",
+        )(x)
+
+
+class DoubleConv(nn.Module):
+    """(conv 3×3 → BN → ReLU) × 2 — reference ``unet_parts.py:9-24``."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        for i in range(2):
+            x = TorchConv(self.features, name=f"conv{i}")(x)
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                name=f"bn{i}",
+            )(x)
+            x = nn.relu(x)
+        return x
+
+
+class Down(nn.Module):
+    """max-pool 2 then DoubleConv — reference ``unet_parts.py:27-37``."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        return DoubleConv(self.features, name="double_conv")(x, train=train)
+
+
+def _pad_to_match(x1, x2):
+    """Zero-pad x1 (NHWC) spatially to x2's H/W — reference ``unet_parts.py:57-62``."""
+    dh = x2.shape[1] - x1.shape[1]
+    dw = x2.shape[2] - x1.shape[2]
+    return jnp.pad(
+        x1,
+        ((0, 0), (dh // 2, dh - dh // 2), (dw // 2, dw - dw // 2), (0, 0)),
+    )
+
+
+class Up(nn.Module):
+    """ConvTranspose(k2,s2, ch→ch/2) + pad + concat(skip, up) + DoubleConv.
+
+    Reference ``unet_parts.py:40-66`` with ``bilinear=False`` (the only
+    working path there; the bilinear leg is broken — SURVEY.md §0).
+    """
+
+    features: int  # output channels (== skip channels for doubling lists)
+
+    @nn.compact
+    def __call__(self, x1, x2, *, train: bool):
+        x1 = TorchConvTranspose(x1.shape[-1] // 2, name="up")(x1)
+        x1 = _pad_to_match(x1, x2)
+        x = jnp.concatenate([x2, x1], axis=-1)  # skip first: torch cat([x2, x1])
+        return DoubleConv(self.features, name="double_conv")(x, train=train)
+
+
+class OutConv(nn.Module):
+    """1×1 conv head — reference ``unet_parts.py:69-75``."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        return TorchConv(self.features, kernel_size=(1, 1), name="conv")(x)
+
+
+class UNet(nn.Module):
+    """Full U-Net — reference ``unet_model.py:9-54``.
+
+    Args mirror the reference: ``n_channels``, ``n_classes``,
+    ``num_filters`` (depth-parametric), ``apply_last_layer``.
+
+    ``__call__(x, train)`` returns logits of shape (N, H, W, n_classes)
+    (sigmoid-activated iff n_classes == 1), or the (N, H, W, num_filters[0])
+    penultimate feature map when ``apply_last_layer=False``.
+    """
+
+    n_channels: int = 1
+    n_classes: int = 1
+    num_filters: Sequence[int] = (64, 128, 256, 512, 1024)
+    apply_last_layer: bool = True
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        nf = list(self.num_filters)
+        xs = [DoubleConv(nf[0], name="inc")(x, train=train)]
+        for i in range(len(nf) - 1):
+            xs.append(Down(nf[i + 1], name=f"down{i}")(xs[-1], train=train))
+
+        # up_blocks are built ascending then reversed (unet_model.py:26-29);
+        # skip wiring xs[-(2 + i*2)] (unet_model.py:39).
+        y = xs[-1]
+        for i in range(len(nf) - 1):
+            skip = xs[len(nf) - 2 - i]
+            y = Up(nf[len(nf) - 2 - i], name=f"up{i}")(y, skip, train=train)
+
+        features = y
+        out = OutConv(self.n_classes, name="outc")(features)
+        if self.n_classes == 1:
+            out = nn.sigmoid(out)
+
+        if self.apply_last_layer:
+            return out
+        return features

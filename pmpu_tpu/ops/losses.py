@@ -1,0 +1,99 @@
+"""Losses: soft Dice, CE/BCE, analytic KL, ELBO — pure functions.
+
+Semantics pinned to the reference (SURVEY.md §2.3):
+
+* ``dice_coeff``   — global soft Dice with smooth 1e-6, flattened over the
+                     whole batch (reference ``dice_loss.py:5-12``: the
+                     per-sample ``view`` is followed by a global ``sum``).
+* ``elbo_loss``    — reconstruction CE **summed** over batch+pixels +
+                     β · **mean-over-batch** KL(q‖p); the trainer minimizes
+                     −elbo (reference ``probabilistic_unet.py:281-308``,
+                     ``probunet_trainer.py:34-39``).
+* ``unet_loss``    — plain mean CE on logits for n_classes>1, mean BCE on
+                     sigmoided outputs for n_classes==1 (reference
+                     ``unet_trainer.py:23,30-37``).
+
+All image tensors are NHWC; integer masks are (N, H, W) or (N, H, W, 1).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pmpu_tpu.models.distributions import DiagGaussian, kl_divergence
+
+DICE_SMOOTH = 1e-6
+
+
+def dice_coeff(pred: jax.Array, target: jax.Array, smooth: float = DICE_SMOOTH):
+    """Global soft Dice coefficient — reference ``dice_loss.py:5-12``."""
+    p = pred.reshape(-1).astype(jnp.float32)
+    t = target.reshape(-1).astype(jnp.float32)
+    inter = jnp.sum(p * t)
+    return (2.0 * inter + smooth) / (jnp.sum(p) + jnp.sum(t) + smooth)
+
+
+def soft_dice_loss(pred, target, smooth: float = DICE_SMOOTH):
+    """1 − dice_coeff; convenience for Dice-loss training configs."""
+    return 1.0 - dice_coeff(pred, target, smooth)
+
+
+def cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Per-pixel CE of NHWC logits vs integer labels (N, H, W).
+
+    Matches torch ``CrossEntropyLoss`` with no reduction (log-softmax + NLL).
+    """
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ll = jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=-1)
+    return -ll[..., 0]
+
+
+def bce_with_logits(logits: jax.Array, targets: jax.Array) -> jax.Array:
+    """Per-element binary CE on logits (stable form of torch
+    ``BCEWithLogitsLoss`` with no reduction)."""
+    return jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+def bce(probs: jax.Array, targets: jax.Array, eps: float = 1e-12) -> jax.Array:
+    """Per-element binary CE on probabilities (torch ``BCELoss``, used by the
+    deterministic path after the model's sigmoid, ``unet_trainer.py:23``)."""
+    p = jnp.clip(probs, eps, 1.0 - eps)
+    return -(targets * jnp.log(p) + (1.0 - targets) * jnp.log1p(-p))
+
+
+def unet_loss(preds: jax.Array, masks: jax.Array, n_classes: int) -> jax.Array:
+    """Deterministic trainer loss — reference ``unet_trainer.py:30-37``.
+
+    ``preds`` is the UNet output: logits for n_classes>1, sigmoid probs for
+    n_classes==1. ``masks`` is (N, H, W) or (N, H, W, 1)."""
+    if masks.ndim == 4:
+        masks = masks[..., 0]
+    if n_classes > 1:
+        return jnp.mean(cross_entropy(preds, masks))
+    return jnp.mean(bce(preds[..., 0], masks.astype(preds.dtype)))
+
+
+def elbo_loss(
+    logits: jax.Array,
+    masks: jax.Array,
+    posterior: DiagGaussian,
+    prior: DiagGaussian,
+    beta: float,
+    n_classes: int,
+):
+    """−ELBO = Σ CE(reconstruction, mask) + β · mean KL(q‖p).
+
+    Reference ``probabilistic_unet.py:281-308`` (CE summed over batch and
+    pixels; KL meaned over batch) with the trainer's sign flip
+    (``probunet_trainer.py:34-39``). Returns (loss, aux dict).
+    """
+    if masks.ndim == 4:
+        masks = masks[..., 0]
+    if n_classes == 1:
+        rec = jnp.sum(bce_with_logits(logits[..., 0], masks.astype(logits.dtype)))
+    else:
+        rec = jnp.sum(cross_entropy(logits, masks))
+    kl = jnp.mean(kl_divergence(posterior, prior))
+    loss = rec + beta * kl
+    return loss, {"reconstruction_loss": rec, "kl": kl}

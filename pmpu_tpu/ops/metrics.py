@@ -1,0 +1,50 @@
+"""Evaluation metrics: per-class Dice via argmax→one-hot.
+
+Replaces the reference's ``scatter_``-based one-hot + per-class loop
+(``trainer/unet_trainer.py:46-57``, ``eval.py:42-49``) with a single
+vectorized on-device computation.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pmpu_tpu.ops.losses import DICE_SMOOTH, dice_coeff
+
+
+def per_class_dice(
+    preds: jax.Array, masks: jax.Array, n_classes: int, from_logits: bool = True
+) -> jax.Array:
+    """Dice for classes 1..n_classes-1 (background excluded).
+
+    ``preds``: NHWC logits/probs (n_classes>1) or (N,H,W,1) probs
+    (n_classes==1, thresholded at 0.5 — reference ``unet_trainer.py:43``).
+    ``masks``: integer labels (N,H,W) or (N,H,W,1).
+
+    Matches reference ``Trainer.eval``: softmax → argmax → one-hot →
+    global soft Dice per foreground class. Returns shape (n_classes-1,)
+    (or (1,) for the binary path).
+    """
+    if masks.ndim == 4:
+        masks = masks[..., 0]
+    if n_classes == 1:
+        hard = (preds[..., 0] > 0.5).astype(jnp.float32)
+        return jnp.stack([dice_coeff(hard, masks.astype(jnp.float32))])
+
+    pred_cls = jnp.argmax(preds, axis=-1)  # (N, H, W); softmax is monotone
+    dices = []
+    for k in range(1, n_classes):
+        one_hot_k = (pred_cls == k).astype(jnp.float32)
+        target_k = (masks == k).astype(jnp.float32)
+        dices.append(dice_coeff(one_hot_k, target_k))
+    return jnp.stack(dices)
+
+
+def volume_per_class_dice(pred_probs: jax.Array, truth: jax.Array, class_index: int):
+    """Dice of an argmax-one-hot 3-D class-prob volume vs integer truth —
+    reference ``eval.py:42-49`` (volumes are class-last here: (X,Y,Z,C))."""
+    pred_cls = jnp.argmax(pred_probs, axis=-1)
+    one_hot_k = (pred_cls == class_index).astype(jnp.float32)
+    target_k = (truth == class_index).astype(jnp.float32)
+    return dice_coeff(one_hot_k, target_k, DICE_SMOOTH)

@@ -1,0 +1,235 @@
+"""Data-layer tests: NIfTI IO roundtrip, pad-to-cube, index map, and the
+device sampler vs a numpy oracle implementing the reference's
+``MRI_Dataset`` semantics (SURVEY.md §4.1)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pmpu_tpu.data import nifti
+from pmpu_tpu.data.index_map import build_index_map, nonempty_table
+from pmpu_tpu.data.sampler import (
+    fibonacci_views,
+    oblique_plane,
+    sample_batch,
+    take_plane,
+    view_basis,
+)
+from pmpu_tpu.data.volumes import VolumeStore, pad_to_cube, reference_pad_dimensions
+
+RNG = np.random.default_rng(7)
+
+
+# ----------------------------- numpy oracle --------------------------------
+# Reimplements the reference's per-slice pipeline (mri_dataset.py:70-112):
+# pad_dimensions → sample_slice(axis v, idx) → preprocess (max-norm, HWC→CHW).
+
+
+def oracle_slice(vol, view, idx):
+    if view == 0:
+        return vol[idx, :, :]
+    if view == 1:
+        return vol[:, idx, :]
+    return vol[:, :, idx]
+
+
+def oracle_preprocess(sl, label=False):
+    out = sl.copy()
+    if not label and out.max() != 0:
+        out = out / out.max()
+    return out
+
+
+# ------------------------------- NIfTI IO ----------------------------------
+
+
+@pytest.mark.parametrize("suffix", [".nii", ".nii.gz"])
+@pytest.mark.parametrize("dtype", [np.float32, np.float64, np.int16, np.uint8])
+def test_nifti_roundtrip(tmp_path, suffix, dtype):
+    data = (RNG.random((5, 7, 6)) * 100).astype(dtype)
+    p = tmp_path / f"vol{suffix}"
+    nifti.save(p, data)
+    back = nifti.load(p, dtype=np.float64)
+    np.testing.assert_allclose(back, data.astype(np.float64))
+    hdr = nifti.read_header(p)
+    assert hdr.shape == (5, 7, 6)
+    np.testing.assert_array_equal(hdr.affine, np.eye(4))
+
+
+def test_nifti_scl_scaling(tmp_path):
+    # get_fdata applies scl_slope * x + scl_inter
+    data = np.arange(8, dtype=np.int16).reshape(2, 2, 2)
+    p = tmp_path / "v.nii"
+    nifti.save(p, data)
+    raw = bytearray(p.read_bytes())
+    import struct
+
+    struct.pack_into("<f", raw, 112, 2.0)  # scl_slope
+    struct.pack_into("<f", raw, 116, 1.5)  # scl_inter
+    p.write_bytes(bytes(raw))
+    out = nifti.load(p)
+    np.testing.assert_allclose(out, data * 2.0 + 1.5)
+
+
+def test_nifti_fortran_order_matches_nibabel_convention(tmp_path):
+    # nibabel stores column-major; element [i,j,k] must survive a roundtrip
+    data = np.zeros((3, 4, 5), dtype=np.float32)
+    data[1, 2, 3] = 42.0
+    p = tmp_path / "f.nii"
+    nifti.save(p, data)
+    assert nifti.load(p)[1, 2, 3] == 42.0
+
+
+def test_nifti_rejects_garbage(tmp_path):
+    p = tmp_path / "bad.nii"
+    p.write_bytes(b"\x00" * 400)
+    with pytest.raises(ValueError):
+        nifti.read_header(p)
+
+
+# ------------------------------ volume store -------------------------------
+
+
+def test_pad_to_cube():
+    v = RNG.random((4, 6, 6))
+    out = pad_to_cube(v)
+    assert out.shape == (6, 6, 6)
+    np.testing.assert_array_equal(out[:4], v)
+    assert out[4:].sum() == 0
+
+
+def test_reference_pad_dimensions_parity_two_equal_axes():
+    # the reference's data has shapes like (104, 170, 170); with one short
+    # axis, full pad == reference pad
+    v = RNG.random((4, 6, 6))
+    np.testing.assert_array_equal(pad_to_cube(v), reference_pad_dimensions(v))
+
+
+def test_volume_store_from_dirs(tmp_path):
+    (tmp_path / "images").mkdir()
+    (tmp_path / "labels").mkdir()
+    for i, shape in enumerate([(4, 6, 6), (6, 6, 6)]):
+        img = RNG.random(shape).astype(np.float32) * 50
+        lbl = RNG.integers(0, 3, size=shape).astype(np.float32)
+        nifti.save(tmp_path / "images" / f"image{i}.nii", img)
+        nifti.save(tmp_path / "labels" / f"image{i}.nii", lbl)
+    store = VolumeStore.from_dirs(tmp_path / "images", tmp_path / "labels")
+    assert store.images.shape == (2, 6, 6, 6)
+    assert store.labels.dtype == np.int32
+    assert store.image_dims == (6, 6, 6)
+    assert store.slices_per_volume == 18
+
+
+# ------------------------------- index map ---------------------------------
+
+
+def test_index_map_matches_triple_loop_oracle():
+    labels = np.zeros((2, 5, 5, 5), dtype=np.int32)
+    labels[0, 1, :, :] = 1  # scan0: plane x=1 has fg
+    labels[1, :, 2, 3] = 2  # scan1: a line
+    want = []
+    for scan in range(2):
+        for view in range(3):
+            for sl in range(5):
+                if oracle_slice(labels[scan], view, sl).max() > 0:
+                    want.append((scan, view, sl))
+    got = build_index_map(labels, filter=True)
+    np.testing.assert_array_equal(got, np.array(want, dtype=np.int32))
+
+
+def test_index_map_unfiltered_order():
+    labels = np.zeros((2, 3, 3, 3), dtype=np.int32)
+    got = build_index_map(labels, filter=False)
+    assert got.shape == (2 * 3 * 3, 3)
+    # reference order: scan-major, then view, then slice
+    np.testing.assert_array_equal(got[0], [0, 0, 0])
+    np.testing.assert_array_equal(got[3], [0, 1, 0])
+    np.testing.assert_array_equal(got[9], [1, 0, 0])
+
+
+def test_nonempty_table():
+    labels = np.zeros((1, 4, 4, 4), dtype=np.int32)
+    labels[0, 2, 1, 3] = 1
+    t = nonempty_table(labels)
+    assert t[0, 0].tolist() == [False, False, True, False]
+    assert t[0, 1].tolist() == [False, True, False, False]
+    assert t[0, 2].tolist() == [False, False, False, True]
+
+
+# -------------------------------- sampler ----------------------------------
+
+
+def test_take_plane_parity_all_views():
+    vol = RNG.random((6, 6, 6)).astype(np.float32)
+    for view in range(3):
+        for idx in [0, 3, 5]:
+            got = np.asarray(take_plane(jnp.asarray(vol), view, idx))
+            np.testing.assert_array_equal(got, oracle_slice(vol, view, idx))
+
+
+def test_sample_batch_parity_with_oracle():
+    imgs = (RNG.random((2, 6, 6, 6)) * 100).astype(np.float32)
+    lbls = RNG.integers(0, 3, size=(2, 6, 6, 6)).astype(np.int32)
+    triples = np.array(
+        [[0, 0, 1], [0, 1, 4], [0, 2, 5], [1, 0, 0], [1, 1, 2], [1, 2, 3]], np.int32
+    )
+    bi, bm = sample_batch(jnp.asarray(imgs), jnp.asarray(lbls), jnp.asarray(triples))
+    assert bi.shape == (6, 6, 6, 1) and bm.shape == (6, 6, 6, 1)
+    for r, (scan, view, sl) in enumerate(triples):
+        want_img = oracle_preprocess(oracle_slice(imgs[scan], view, sl))
+        want_msk = oracle_slice(lbls[scan], view, sl)
+        np.testing.assert_allclose(np.asarray(bi[r, ..., 0]), want_img, rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(bm[r, ..., 0]), want_msk)
+
+
+def test_sample_batch_zero_slice_not_normalized():
+    imgs = np.zeros((1, 4, 4, 4), dtype=np.float32)
+    lbls = np.zeros((1, 4, 4, 4), dtype=np.int32)
+    bi, _ = sample_batch(jnp.asarray(imgs), jnp.asarray(lbls), jnp.asarray([[0, 0, 0]], dtype=np.int32))
+    assert np.all(np.isfinite(np.asarray(bi)))
+    assert np.asarray(bi).sum() == 0
+
+
+# --------------------------- oblique generalization ------------------------
+
+
+def test_oblique_axis_aligned_reduces_to_take_plane():
+    vol = RNG.random((8, 8, 8)).astype(np.float32)
+    jvol = jnp.asarray(vol)
+    center = (8 - 1) / 2.0
+    for view in range(3):
+        n = np.zeros(3, np.float32)
+        n[view] = 1.0
+        basis = view_basis(n)
+        for idx in [0, 3, 7]:
+            got = np.asarray(oblique_plane(jvol, basis, idx - center))
+            want = oracle_slice(vol, view, idx)
+            # in-plane orientation may differ by a fixed transpose/flip of the
+            # sampling grid; compare as sets of rows via sorting both
+            assert got.shape == want.shape
+            np.testing.assert_allclose(np.sort(got.ravel()), np.sort(want.ravel()), rtol=1e-5)
+
+
+def test_oblique_trilinear_midpoint():
+    vol = np.zeros((4, 4, 4), dtype=np.float32)
+    vol[1] = 1.0
+    vol[2] = 3.0
+    basis = view_basis([1.0, 0.0, 0.0])
+    center = (4 - 1) / 2.0
+    got = np.asarray(oblique_plane(jnp.asarray(vol), basis, 1.5 - center))
+    np.testing.assert_allclose(got, np.full((4, 4), 2.0), rtol=1e-6)
+
+
+def test_oblique_outside_is_zero():
+    vol = np.ones((4, 4, 4), dtype=np.float32)
+    basis = view_basis([1.0, 0.0, 0.0])
+    got = np.asarray(oblique_plane(jnp.asarray(vol), basis, 10.0))
+    np.testing.assert_array_equal(got, np.zeros((4, 4)))
+
+
+def test_fibonacci_views():
+    for k in [3, 6, 9]:
+        v = fibonacci_views(k)
+        assert v.shape == (k, 3)
+        np.testing.assert_allclose(np.linalg.norm(v, axis=1), 1.0, rtol=1e-5)
+    np.testing.assert_array_equal(fibonacci_views(3), np.eye(3, dtype=np.float32))
