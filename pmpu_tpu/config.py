@@ -1,0 +1,114 @@
+"""Typed configuration with an argparse front-end preserving the reference CLI.
+
+The reference configures everything through argparse flags
+(``train.py:199-225``, ``eval.py:25-36``) with model hyperparameters
+hardcoded at construction sites (``train.py:241-244``). Here one dataclass
+holds the full configuration; ``add_train_args``/``add_eval_args`` keep the
+reference's exact flag names and defaults (BASELINE.json: "Public entry
+points train.py / predict.py / eval.py keep their CLI").
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+
+@dataclass
+class Config:
+    # reference train.py flags (names + defaults, train.py:199-225)
+    epochs: int = 5
+    batchsize: int = 2
+    lr: float = 0.001
+    lrf: float = 0.1  # plateau factor
+    lrp: int = 5  # plateau patience
+    om: float = 0.9  # SGD momentum
+    load: Optional[str] = None
+    scale: float = 1.0  # accepted for CLI parity (unused by the reference too)
+    val: float = 10.0  # validation percent
+    net: str = "unet"  # unet | probunet
+    dir: Optional[str] = None
+
+    # model hyperparameters (reference construction sites train.py:241-244,
+    # probunet_trainer.py:16)
+    n_channels: int = 1
+    n_classes: Optional[int] = None  # default: 1 for unet, 3 for probunet
+    num_filters: Sequence[int] = (64, 128, 256, 512, 1024)
+    latent_dim: int = 6
+    no_convs_fcomb: int = 4
+    beta: float = 10.0
+
+    # framework extensions (TPU-native knobs; defaults preserve reference behavior)
+    seed: int = 0
+    bf16: bool = False  # bfloat16 compute (params stay f32)
+    checkpoint_dir: str = "checkpoints"
+    logdir: Optional[str] = None
+    save_cp: bool = True
+    num_views: int = 3  # 3 = reference standard axes; >3 = isotropic oblique
+    eval_samples: int = 5  # prior samples per slice for probunet eval (eval.py:148)
+    eval_batch: int = 0  # slices per model invocation at eval; 0 = whole view
+    data_parallel: bool = False  # shard batch over a data mesh axis
+
+    def resolved_n_classes(self) -> int:
+        if self.n_classes is not None:
+            return self.n_classes
+        return 1 if self.net == "unet" else 3
+
+    def task_kwargs(self) -> dict:
+        import jax.numpy as jnp
+
+        kw = dict(
+            n_channels=self.n_channels,
+            n_classes=self.resolved_n_classes(),
+            num_filters=tuple(self.num_filters),
+            dtype=jnp.bfloat16 if self.bf16 else None,
+        )
+        if self.net == "probunet":
+            kw.update(latent_dim=self.latent_dim, no_convs_fcomb=self.no_convs_fcomb, beta=self.beta)
+        return kw
+
+
+def add_train_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
+    """Reference ``train.py:199-225`` flags, byte-compatible."""
+    p.add_argument("-e", "--epochs", metavar="E", type=int, default=5, dest="epochs")
+    p.add_argument("-b", "--batch-size", metavar="B", type=int, nargs="?", default=2, dest="batchsize")
+    p.add_argument("-l", "--learning-rate", metavar="LR", type=float, nargs="?", default=0.001, dest="lr")
+    p.add_argument("-r", "--schedule-factor", metavar="LRF", type=float, nargs="?", default=0.1, dest="lrf")
+    p.add_argument("-p", "--schedule-patience", metavar="LRP", type=int, nargs="?", default=5, dest="lrp")
+    p.add_argument("-o", "--optimizer-momentum", metavar="OM", type=float, nargs="?", default=0.9, dest="om")
+    p.add_argument("-f", "--load", dest="load", type=str, default=None)
+    p.add_argument("-s", "--scale", dest="scale", type=float, default=1)
+    p.add_argument("-v", "--validation", dest="val", type=float, default=10.0)
+    p.add_argument("-m", "--model", dest="net", type=str, default="unet")
+    p.add_argument("-d", "--dir", dest="dir", type=str, default=None)
+    _add_extension_args(p)
+    return p
+
+
+def add_eval_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
+    """Reference ``eval.py:25-36`` flags."""
+    p.add_argument("-f", "--load", dest="load", type=str, default=None)
+    p.add_argument("-d", "--dir", dest="dir", type=str, default=None)
+    p.add_argument("-m", "--model", dest="net", type=str, default="unet")
+    _add_extension_args(p)
+    return p
+
+
+def _add_extension_args(p: argparse.ArgumentParser):
+    g = p.add_argument_group("tpu framework extensions")
+    g.add_argument("--seed", type=int, default=0)
+    g.add_argument("--bf16", action="store_true")
+    g.add_argument("--checkpoint-dir", dest="checkpoint_dir", type=str, default="checkpoints")
+    g.add_argument("--logdir", type=str, default=None)
+    g.add_argument("--num-views", dest="num_views", type=int, default=3)
+    g.add_argument("--eval-samples", dest="eval_samples", type=int, default=5)
+    g.add_argument("--eval-batch", dest="eval_batch", type=int, default=0)
+    g.add_argument("--data-parallel", dest="data_parallel", action="store_true")
+    g.add_argument("--n-classes", dest="n_classes", type=int, default=None)
+
+
+def config_from_args(args: argparse.Namespace) -> Config:
+    known = {f.name for f in dataclasses.fields(Config)}
+    return Config(**{k: v for k, v in vars(args).items() if k in known})

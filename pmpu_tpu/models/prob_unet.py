@@ -28,7 +28,7 @@ returns ``(unet_features, prior, posterior)`` and decoding is a separate
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Sequence
+from typing import Any, NamedTuple, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -60,6 +60,7 @@ class HeConv(nn.Module):
 
     features: int
     kernel_size: tuple[int, int] = (3, 3)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -67,6 +68,7 @@ class HeConv(nn.Module):
             self.features,
             self.kernel_size,
             padding="SAME",
+            dtype=self.dtype,
             kernel_init=pinit.he_normal(),
             bias_init=pinit.truncated_normal(std=0.001),
             name="conv",
@@ -78,12 +80,14 @@ class OrthoConv(nn.Module):
     (Fcomb init, ``utils.py:22-25`` via ``probabilistic_unet.py:148-150``)."""
 
     features: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         return nn.Conv(
             self.features,
             (1, 1),
+            dtype=self.dtype,
             kernel_init=pinit.orthogonal(),
             bias_init=pinit.truncated_normal(std=0.001),
             name="conv",
@@ -95,18 +99,22 @@ class Encoder(nn.Module):
 
     num_filters: Sequence[int]
     no_convs_per_block: int = 2
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, *, train: bool):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         for i, f in enumerate(self.num_filters):
             if i != 0:
                 x = avg_pool_ceil(x)
             for j in range(self.no_convs_per_block):
-                x = HeConv(f, name=f"block{i}_conv{j}")(x)
+                x = HeConv(f, dtype=self.dtype, name=f"block{i}_conv{j}")(x)
                 x = nn.BatchNorm(
                     use_running_average=not train,
                     momentum=0.9,
                     epsilon=1e-5,
+                    dtype=self.dtype,
                     name=f"block{i}_bn{j}",
                 )(x)
                 x = nn.relu(x)
@@ -120,14 +128,15 @@ class AxisAlignedConvGaussian(nn.Module):
     num_filters: Sequence[int]
     latent_dim: int
     no_convs_per_block: int = 2
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, *, train: bool) -> DiagGaussian:
-        enc = Encoder(self.num_filters, self.no_convs_per_block, name="encoder")(
+        enc = Encoder(self.num_filters, self.no_convs_per_block, dtype=self.dtype, name="encoder")(
             x, train=train
         )
         # global spatial mean (reference :96-99), keep NHWC 1×1 map
-        enc = jnp.mean(enc, axis=(1, 2), keepdims=True)
+        enc = jnp.mean(enc.astype(jnp.float32), axis=(1, 2), keepdims=True)
         mu_log_sigma = nn.Conv(
             2 * self.latent_dim,
             (1, 1),
@@ -149,17 +158,21 @@ class Fcomb(nn.Module):
     latent_dim: int
     num_classes: int
     no_convs_fcomb: int = 4
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, feature_map: jax.Array, z: jax.Array) -> jax.Array:
         n, h, w, _ = feature_map.shape
+        if self.dtype is not None:
+            feature_map = feature_map.astype(self.dtype)
+            z = z.astype(self.dtype)
         z_map = jnp.broadcast_to(z[:, None, None, :], (n, h, w, z.shape[-1]))
         x = jnp.concatenate([feature_map, z_map], axis=-1)
         f0 = self.num_filters[0]
         for i in range(self.no_convs_fcomb - 1):
-            x = OrthoConv(f0, name=f"layer{i}")(x)
+            x = OrthoConv(f0, dtype=self.dtype, name=f"layer{i}")(x)
             x = nn.relu(x)
-        return OrthoConv(self.num_classes, name="last_layer")(x)
+        return OrthoConv(self.num_classes, dtype=self.dtype, name="last_layer")(x).astype(jnp.float32)
 
 
 class ProbUNetOutput(NamedTuple):
@@ -186,6 +199,7 @@ class ProbabilisticUNet(nn.Module):
     no_convs_per_block: int = 2
     no_convs_fcomb: int = 4
     beta: float = 10.0
+    dtype: Any = None  # compute dtype (e.g. jnp.bfloat16); params stay f32
 
     def setup(self):
         self.unet = UNet(
@@ -193,15 +207,17 @@ class ProbabilisticUNet(nn.Module):
             n_classes=self.num_classes,
             num_filters=self.num_filters,
             apply_last_layer=False,
+            dtype=self.dtype,
         )
         self.prior = AxisAlignedConvGaussian(
-            self.num_filters, self.latent_dim, self.no_convs_per_block
+            self.num_filters, self.latent_dim, self.no_convs_per_block, dtype=self.dtype
         )
         self.posterior = AxisAlignedConvGaussian(
-            self.num_filters, self.latent_dim, self.no_convs_per_block
+            self.num_filters, self.latent_dim, self.no_convs_per_block, dtype=self.dtype
         )
         self.fcomb = Fcomb(
-            self.num_filters, self.latent_dim, self.num_classes, self.no_convs_fcomb
+            self.num_filters, self.latent_dim, self.num_classes, self.no_convs_fcomb,
+            dtype=self.dtype,
         )
 
     def __call__(self, patch, segm=None, *, train: bool = False) -> ProbUNetOutput:

@@ -24,7 +24,7 @@ uses for the U-Net backbone (it applies no custom init there).
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -38,6 +38,7 @@ class TorchConv(nn.Module):
     features: int
     kernel_size: tuple[int, int] = (3, 3)
     padding: str | int = "SAME"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -49,6 +50,7 @@ class TorchConv(nn.Module):
             self.features,
             self.kernel_size,
             padding=pad,
+            dtype=self.dtype,
             kernel_init=pinit.torch_conv_default(),
             bias_init=pinit.torch_conv_bias_default(fan_in),
             name="conv",
@@ -64,6 +66,7 @@ class TorchConvTranspose(nn.Module):
     """
 
     features: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -81,6 +84,7 @@ class TorchConvTranspose(nn.Module):
             strides=(2, 2),
             padding="VALID",
             transpose_kernel=True,
+            dtype=self.dtype,
             kernel_init=kernel_init,
             bias_init=bound_init,
             name="conv",
@@ -91,15 +95,17 @@ class DoubleConv(nn.Module):
     """(conv 3×3 → BN → ReLU) × 2 — reference ``unet_parts.py:9-24``."""
 
     features: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, *, train: bool):
         for i in range(2):
-            x = TorchConv(self.features, name=f"conv{i}")(x)
+            x = TorchConv(self.features, dtype=self.dtype, name=f"conv{i}")(x)
             x = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=0.9,
                 epsilon=1e-5,
+                dtype=self.dtype,
                 name=f"bn{i}",
             )(x)
             x = nn.relu(x)
@@ -110,11 +116,12 @@ class Down(nn.Module):
     """max-pool 2 then DoubleConv — reference ``unet_parts.py:27-37``."""
 
     features: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, *, train: bool):
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        return DoubleConv(self.features, name="double_conv")(x, train=train)
+        return DoubleConv(self.features, dtype=self.dtype, name="double_conv")(x, train=train)
 
 
 def _pad_to_match(x1, x2):
@@ -135,23 +142,25 @@ class Up(nn.Module):
     """
 
     features: int  # output channels (== skip channels for doubling lists)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x1, x2, *, train: bool):
-        x1 = TorchConvTranspose(x1.shape[-1] // 2, name="up")(x1)
+        x1 = TorchConvTranspose(x1.shape[-1] // 2, dtype=self.dtype, name="up")(x1)
         x1 = _pad_to_match(x1, x2)
         x = jnp.concatenate([x2, x1], axis=-1)  # skip first: torch cat([x2, x1])
-        return DoubleConv(self.features, name="double_conv")(x, train=train)
+        return DoubleConv(self.features, dtype=self.dtype, name="double_conv")(x, train=train)
 
 
 class OutConv(nn.Module):
     """1×1 conv head — reference ``unet_parts.py:69-75``."""
 
     features: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        return TorchConv(self.features, kernel_size=(1, 1), name="conv")(x)
+        return TorchConv(self.features, kernel_size=(1, 1), dtype=self.dtype, name="conv")(x)
 
 
 class UNet(nn.Module):
@@ -169,23 +178,27 @@ class UNet(nn.Module):
     n_classes: int = 1
     num_filters: Sequence[int] = (64, 128, 256, 512, 1024)
     apply_last_layer: bool = True
+    dtype: Any = None  # compute dtype (e.g. jnp.bfloat16); params stay f32
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         nf = list(self.num_filters)
-        xs = [DoubleConv(nf[0], name="inc")(x, train=train)]
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        xs = [DoubleConv(nf[0], dtype=self.dtype, name="inc")(x, train=train)]
         for i in range(len(nf) - 1):
-            xs.append(Down(nf[i + 1], name=f"down{i}")(xs[-1], train=train))
+            xs.append(Down(nf[i + 1], dtype=self.dtype, name=f"down{i}")(xs[-1], train=train))
 
         # up_blocks are built ascending then reversed (unet_model.py:26-29);
         # skip wiring xs[-(2 + i*2)] (unet_model.py:39).
         y = xs[-1]
         for i in range(len(nf) - 1):
             skip = xs[len(nf) - 2 - i]
-            y = Up(nf[len(nf) - 2 - i], name=f"up{i}")(y, skip, train=train)
+            y = Up(nf[len(nf) - 2 - i], dtype=self.dtype, name=f"up{i}")(y, skip, train=train)
 
         features = y
-        out = OutConv(self.n_classes, name="outc")(features)
+        out = OutConv(self.n_classes, dtype=self.dtype, name="outc")(features)
+        out = out.astype(jnp.float32)
         if self.n_classes == 1:
             out = nn.sigmoid(out)
 

@@ -1,0 +1,175 @@
+"""Training loop — the reference's ``train_net`` (``train.py:27-196``),
+re-expressed as host orchestration around one jitted step.
+
+Per epoch: a train phase over shuffled (scan, view, slice) triples and a
+validation phase computing val loss + per-class dice, TensorBoard scalars
+and image triplets, plateau LR scheduling on the val metric, and a
+checkpoint per epoch + final model — the reference's exact cadence, minus
+its defects (double checkpoint per epoch, stale-posterior val loss;
+SURVEY.md §0).
+
+All slices are gathered on-device from the HBM-resident volume stack; the
+host only supplies index arrays, so steps are never IO-bound (the
+reference reloads both NIfTIs from disk per slice, ``mri_dataset.py:124-127``).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pmpu_tpu.config import Config
+from pmpu_tpu.data.index_map import build_index_map
+from pmpu_tpu.data.volumes import VolumeStore
+from pmpu_tpu.train import checkpoint as ckpt
+from pmpu_tpu.train.schedule import ReduceLROnPlateau
+from pmpu_tpu.train.steps import (
+    create_train_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+from pmpu_tpu.train.tasks import make_task
+from pmpu_tpu.utils import MetricWriter, mask_to_image
+
+log = logging.getLogger(__name__)
+
+
+def split_indices(n: int, val_percent: float, rng: np.random.Generator):
+    """random_split semantics (``train.py:40-42``): uniformly shuffled split,
+    n_val = int(n * val_percent)."""
+    n_val = int(n * val_percent)
+    perm = rng.permutation(n)
+    return perm[n_val:], perm[:n_val]
+
+
+def train_net(cfg: Config, store: VolumeStore, interrupt_flag=None):
+    """Run training; returns (state, task, history dict)."""
+    task = make_task(cfg.net, **cfg.task_kwargs())
+    n_classes = task.n_classes
+
+    # --- data -----------------------------------------------------------
+    index = build_index_map(store.labels, filter=True)
+    rng = np.random.default_rng(cfg.seed)
+    train_idx, val_idx = split_indices(len(index), cfg.val / 100.0, rng)
+    images_d = jax.device_put(jnp.asarray(store.images))
+    labels_d = jax.device_put(jnp.asarray(store.labels))
+
+    # gradient accumulation: acc_steps=4 iff batch>4 (train.py:45-48)
+    acc_steps = 4 if cfg.batchsize > 4 else 1
+    micro = max(cfg.batchsize // acc_steps, 1)
+    per_step = micro * acc_steps
+
+    # --- model/optimizer --------------------------------------------------
+    key = jax.random.key(cfg.seed)
+    key, init_key = jax.random.split(key)
+    s = store.cube
+    sample_img = jnp.zeros((micro, s, s, 1), jnp.float32)
+    sample_msk = jnp.zeros((micro, s, s, 1), jnp.int32)
+    tx = make_optimizer(momentum=cfg.om, clip=0.1, lr=cfg.lr)
+    state = create_train_state(task, init_key, sample_img, sample_msk, tx)
+    if cfg.load:
+        state, _ = ckpt.restore_train_state(cfg.load, state, strict=False)
+        log.info("restored checkpoint %s", cfg.load)
+
+    train_step = make_train_step(task, tx, acc_steps=acc_steps)
+    eval_step = make_eval_step(task)
+
+    plateau = ReduceLROnPlateau(
+        lr=cfg.lr,
+        mode="min" if n_classes > 1 else "max",  # train.py:66
+        factor=cfg.lrf,
+        patience=cfg.lrp,
+    )
+    writer = MetricWriter(
+        logdir=cfg.logdir,
+        comment=f"LRF_{cfg.lrf}_LRP_{cfg.lrp}_EP_{cfg.epochs}_LR_{cfg.lr}_BS_{cfg.batchsize}",
+        enable_tb=cfg.logdir is not None or cfg.save_cp,
+    )
+
+    log.info(
+        "Starting training: epochs=%d batch=%d lr=%g train=%d val=%d device=%s",
+        cfg.epochs, cfg.batchsize, cfg.lr, len(train_idx), len(val_idx),
+        jax.devices()[0].platform,
+    )
+
+    global_step = 0
+    history = {"train_loss": [], "val_loss": [], "val_dice": [], "step_time": []}
+    os.makedirs(cfg.checkpoint_dir, exist_ok=True)
+
+    for epoch in range(cfg.epochs):
+        # ---------------- train phase ----------------
+        order = rng.permutation(len(train_idx))
+        n_steps = len(order) // per_step
+        epoch_losses = []
+        for i in range(n_steps):
+            if interrupt_flag is not None and interrupt_flag():
+                raise KeyboardInterrupt
+            sel = train_idx[order[i * per_step : (i + 1) * per_step]]
+            triples = jnp.asarray(index[sel])
+            key, sk = jax.random.split(key)
+            t0 = time.perf_counter()
+            state, metrics = train_step(state, images_d, labels_d, triples, sk, plateau.lr)
+            loss = float(metrics["loss"])
+            epoch_losses.append(loss)
+            writer.scalar("Loss/train", loss, global_step)
+            if i >= 1:
+                history["step_time"].append(time.perf_counter() - t0)
+            global_step += 1
+        history["train_loss"].append(float(np.mean(epoch_losses)) if epoch_losses else float("nan"))
+
+        # ---------------- validation phase ----------------
+        val_steps = max(len(val_idx) // per_step, 1) if len(val_idx) else 0
+        loss_sum, dice_sum = 0.0, np.zeros(max(n_classes - 1, 1))
+        logged_images = False
+        for i in range(val_steps):
+            sel = val_idx[i * per_step : (i + 1) * per_step]
+            if len(sel) == 0:
+                break
+            triples = jnp.asarray(index[sel])
+            key, sk = jax.random.split(key)
+            vloss, dice, preds, img, msk = eval_step(state, images_d, labels_d, triples, sk)
+            loss_sum += float(vloss)
+            dice_sum += np.asarray(dice)
+            if not logged_images:  # one image triplet per val round (train.py:156-160)
+                writer.images("images", np.asarray(img), global_step)
+                writer.images("masks/true", mask_to_image(np.asarray(msk), n_classes), global_step)
+                writer.images(
+                    "masks/pred", mask_to_image(np.asarray(preds), n_classes, prediction=True), global_step
+                )
+                logged_images = True
+            global_step += 1
+
+        if val_steps:
+            avg_loss = loss_sum / val_steps
+            avg_dice = dice_sum / val_steps
+            writer.scalar("Loss/validation", avg_loss, global_step)
+            writer.scalar("learning_rate", plateau.lr, global_step)
+            for c in range(n_classes - 1):
+                writer.scalar(f"dice/class_{c + 1}", avg_dice[c], global_step)
+            if n_classes == 1:
+                val_score = float(avg_dice[0])
+                writer.scalar("metrics/dice", val_score, global_step)
+                log.info("Validation Dice Coeff: %s", val_score)
+            else:
+                val_score = avg_loss
+            plateau.step(val_score)
+            history["val_loss"].append(avg_loss)
+            history["val_dice"].append(avg_dice.tolist())
+
+        if cfg.save_cp:
+            path = os.path.join(cfg.checkpoint_dir, f"{task.name}_checkpoint{epoch}.pt")
+            ckpt.save_checkpoint(path, state, plateau, key)
+            log.info("Saved model %s", path)
+
+    if cfg.save_cp:
+        path = os.path.join(cfg.checkpoint_dir, f"{task.name}_model.pt")
+        ckpt.save_checkpoint(path, state, plateau, key)
+        log.info("Saved model %s", path)
+    writer.close()
+    return state, task, history

@@ -1,0 +1,133 @@
+"""Jitted train/eval steps: fused sampler→model→loss→grad→update.
+
+One optimizer step = one XLA program: slice gather + normalization
+(``pmpu_tpu.data.sampler``), forward of all towers, loss, backward,
+grad-accumulation via ``lax.scan`` over microbatches, clip-by-value(0.1),
+SGD+momentum — replacing the reference's per-microbatch Python loop with
+host-side ``loss.backward()`` / ``clip_grad_value_`` / ``optimizer.step()``
+(``train.py:74-110``).
+
+The learning rate enters as a traced scalar (plateau scheduling on the host
+never recompiles). Data-parallel sharding is layered on top by
+``pmpu_tpu.parallel`` — these steps are written against global arrays and
+work unchanged under ``jit`` with sharded inputs.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from pmpu_tpu.data.sampler import sample_batch
+from pmpu_tpu.ops.metrics import per_class_dice
+
+
+class TrainState(flax.struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def make_optimizer(momentum: float = 0.9, clip: float = 0.1, lr: float = 1e-3):
+    """clip_grad_value_(0.1) → SGD(momentum) — reference ``train.py:65,108``.
+
+    Wrapped in ``inject_hyperparams`` so the host-side plateau scheduler can
+    rewrite the lr in the optimizer state without recompilation.
+    """
+
+    @optax.inject_hyperparams
+    def tx(learning_rate):
+        return optax.chain(
+            optax.clip(clip), optax.sgd(learning_rate, momentum=momentum)
+        )
+
+    return tx(learning_rate=lr)
+
+
+def set_lr(opt_state, lr):
+    """Functionally set the injected learning rate."""
+    hp = dict(opt_state.hyperparams)
+    hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return opt_state._replace(hyperparams=hp)
+
+
+def create_train_state(task, key, sample_img, sample_msk, tx) -> TrainState:
+    variables = task.init_variables(key, sample_img, sample_msk)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_train_step(task, tx, acc_steps: int = 1, donate: bool = True):
+    """Build the jitted train step.
+
+    signature: step(state, images, labels, triples, key, lr) → (state, metrics)
+
+    * images/labels: device-resident padded volume stacks (N,S,S,S)
+    * triples: (acc_steps * micro_b, 3) int32 (scan, view, slice) rows
+    * grad accumulation: mean of microbatch grads == the reference's
+      ``loss/acc_steps`` summed over ``acc_steps`` backwards (train.py:95-110)
+    """
+
+    def loss_and_grads(params, batch_stats, img, msk, key):
+        grad_fn = jax.value_and_grad(task.train_loss, has_aux=True)
+        (loss, (new_bstats, aux)), grads = grad_fn(params, batch_stats, img, msk, key)
+        return loss, grads, new_bstats, aux
+
+    def step(state: TrainState, images, labels, triples, key, lr):
+        micro = triples.shape[0] // acc_steps
+        trip = triples.reshape(acc_steps, micro, 3)
+        keys = jax.random.split(key, acc_steps)
+
+        def body(carry, xs):
+            grads_acc, bstats = carry
+            tr, k = xs
+            img, msk = sample_batch(images, labels, tr)
+            loss, grads, bstats, aux = loss_and_grads(state.params, bstats, img, msk, k)
+            grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+            return (grads_acc, bstats), aux
+
+        zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        (grads, batch_stats), auxes = jax.lax.scan(
+            body, (zero_grads, state.batch_stats), (trip, keys)
+        )
+        grads = jax.tree_util.tree_map(lambda g: g / acc_steps, grads)
+
+        opt_state = set_lr(state.opt_state, lr)
+        updates, opt_state = tx.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = jax.tree_util.tree_map(jnp.mean, auxes)
+        new_state = TrainState(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def make_eval_step(task):
+    """Jitted validation step: predict (BN eval mode) + per-class dice +
+    val loss — reference validation phase ``train.py:119-182``."""
+
+    def step(state: TrainState, images, labels, triples, key):
+        img, msk = sample_batch(images, labels, triples)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        loss, preds = task.val_loss(variables, img, msk, key)
+        dice = per_class_dice(preds, msk, task.n_classes)
+        return loss, dice, preds, img, msk
+
+    return jax.jit(step)
