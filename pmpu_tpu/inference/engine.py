@@ -1,0 +1,175 @@
+"""Whole-volume multi-view inference engine — the north-star workload.
+
+Reference algorithm (``eval.py:104-216``): for every slice of every view
+(batch size 1, sequential DataLoader), predict (probunet: 5 prior samples
+averaged), softmax, collect on host, reassemble per-view volumes, mean-fuse,
+argmax, per-class Dice. Per-volume wall-clock of that loop is the number
+to beat ≥5× (BASELINE.md).
+
+This engine runs the entire volume as one XLA program per volume shape:
+
+  volume (HBM) → 3 transposes → (3S,S,S) slice slab → per-slice max-norm →
+  chunked batched model (lax.map, MXU-batched convs; probunet decodes N
+  latent samples via one batched fcomb) → softmax → inverse-transpose
+  reassembly → mean fusion → per-class dice + argmax
+
+The slice axis is a pure batch axis, so the same program shards over a
+device mesh ('data' axis) for multi-chip eval (``pmpu_tpu.parallel``).
+With ``num_views != 3`` the oblique path samples isotropic view axes by
+trilinear plane interpolation and splats them back through inverse
+rotation — the reference's unimplemented TODO (``mri_dataset.py:71``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pmpu_tpu.inference.fusion import (
+    fuse_mean,
+    make_view_bases,
+    normalize_slabs,
+    oblique_slabs,
+    reassemble_views,
+    resample_view_to_grid,
+    view_slabs,
+)
+from pmpu_tpu.models.prob_unet import ProbabilisticUNet
+from pmpu_tpu.ops.metrics import volume_per_class_dice
+
+
+class VolumeEvaluator:
+    """Batched on-device evaluator for one task/checkpoint.
+
+    Args:
+      task: UNetTask | ProbUNetTask (``pmpu_tpu.train.tasks``)
+      n_samples: prior samples per slice for the probabilistic model
+                 (reference uses 5, ``eval.py:148``)
+      eval_batch: slices per model invocation (0 → all 3S at once)
+      num_views: 3 → exact reference multi-planar path; else isotropic oblique
+    """
+
+    def __init__(self, task, n_samples: int = 5, eval_batch: int = 0, num_views: int = 3):
+        self.task = task
+        self.n_samples = n_samples
+        self.eval_batch = eval_batch
+        self.num_views = num_views
+        self._bases = None if num_views == 3 else jnp.asarray(make_view_bases(num_views))
+        self._predict = jax.jit(self._predict_volume)
+        self._report = jax.jit(self._dice_report)
+
+    # ------------------------------------------------------------------
+    def _model_logits(self, variables, x, key):
+        """Batched model forward → class logits (N,H,W,C)."""
+        if self.task.is_probabilistic:
+            net: ProbabilisticUNet = self.task.net
+            out = net.apply(variables, x, train=False)
+            loc, scale = out.prior.loc, out.prior.scale
+            eps = jax.random.normal(
+                key, (self.n_samples,) + loc.shape, loc.dtype
+            )
+            zs = loc[None] + scale[None] * eps  # (n_samples, N, latent)
+
+            def decode(z):
+                return net.apply(
+                    variables, out.unet_features, z, method=ProbabilisticUNet.decode
+                )
+
+            # reference averages the 5 sample logits then softmaxes once
+            # (eval.py:148-157)
+            logits = jax.vmap(decode)(zs)
+            return jnp.mean(logits, axis=0)
+        return self.task.net.apply(variables, x, train=False)
+
+    def _chunked_logits(self, variables, slabs, key):
+        total = slabs.shape[0]
+        b = self.eval_batch if self.eval_batch else total
+        nchunk = -(-total // b)
+        pad = nchunk * b - total
+        x = jnp.pad(slabs, ((0, pad), (0, 0), (0, 0)))[..., None]
+        x = x.reshape(nchunk, b, *slabs.shape[1:], 1)
+
+        def chunk(args):
+            xc, i = args
+            return self._model_logits(variables, xc, jax.random.fold_in(key, i))
+
+        logits = jax.lax.map(chunk, (x, jnp.arange(nchunk)))
+        c = logits.shape[-1]
+        return logits.reshape(nchunk * b, *slabs.shape[1:], c)[:total]
+
+    def _predict_volume(self, variables, vol, key):
+        """(S,S,S) image volume → per-view prob volumes + fused (S,S,S,C)."""
+        if self.num_views == 3:
+            slabs = normalize_slabs(view_slabs(vol))
+            logits = self._chunked_logits(variables, slabs, key)
+            probs = jax.nn.softmax(logits, axis=-1)  # eval.py:157
+            views = reassemble_views(probs)
+        else:
+            view_stacks = [oblique_slabs(vol, b) for b in self._bases]
+            slabs = normalize_slabs(jnp.concatenate(view_stacks, axis=0))
+            logits = self._chunked_logits(variables, slabs, key)
+            probs = jax.nn.softmax(logits, axis=-1)
+            s = vol.shape[0]
+            views = [
+                resample_view_to_grid(probs[i * s : (i + 1) * s], self._bases[i])
+                for i in range(self.num_views)
+            ]
+        fused = fuse_mean(list(views))
+        return tuple(views) + (fused,)
+
+    def _dice_report(self, volumes, truth):
+        """Per-class (1..C-1) dice for each view volume + fused —
+        ``eval.py:177-205``."""
+        n_classes = volumes[0].shape[-1]
+        rows = []
+        for v in volumes:
+            rows.append(
+                jnp.stack([volume_per_class_dice(v, truth, c) for c in range(1, n_classes)])
+            )
+        return jnp.stack(rows)  # (num_views+1, n_classes-1)
+
+    # ------------------------------------------------------------------
+    def evaluate_volume(self, variables, img_vol, truth_vol=None, key=None):
+        """Run one volume. Returns dict with 'fused' probs (device array),
+        'argmax' (host uint8), and 'dice' (num_views+1, C-1) if truth given."""
+        key = key if key is not None else jax.random.key(0)
+        outs = self._predict(variables, jnp.asarray(img_vol), key)
+        fused = outs[-1]
+        result = {
+            "views": outs[:-1],
+            "fused": fused,
+            "argmax": np.asarray(jnp.argmax(fused, axis=-1)).astype(np.float32),
+        }
+        if truth_vol is not None:
+            result["dice"] = np.asarray(self._report(outs, jnp.asarray(truth_vol)))
+        return result
+
+    def evaluate_store(self, variables, store, key=None, save_dir: Optional[str] = None):
+        """Evaluate every volume in a VolumeStore; returns the reference's
+        report structure: per-view and fused per-class dice arrays
+        (mean±std printed by the CLI — ``eval.py:218-233``)."""
+        key = key if key is not None else jax.random.key(0)
+        per_view = [[] for _ in range(self.num_views)]
+        fused_dice = []
+        for i in range(len(store)):
+            res = self.evaluate_volume(
+                variables,
+                store.images[i],
+                store.labels[i],
+                jax.random.fold_in(key, i),
+            )
+            d = res["dice"]
+            for v in range(self.num_views):
+                per_view[v].append(d[v])
+            fused_dice.append(d[-1])
+            if save_dir:
+                from pmpu_tpu.data import nifti
+
+                nifti.save(f"{save_dir}/{store.ids[i]}", res["argmax"])
+        return {
+            "per_view": [np.stack(v) for v in per_view],
+            "fused": np.stack(fused_dice),
+        }
