@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Eval CLI — flag-compatible with the reference's ``eval.py:25-36``.
+
+    python eval.py -m probunet -f checkpoints/probunet_model.pt -d DATA_DIR
+
+Loads a checkpoint (framework format, or a torch ``state_dict`` .pt from
+the reference), runs whole-volume multi-view fused inference on every
+volume in ``DATA_DIR/{images,labels}``, saves fused argmax segmentations
+as NIfTI into ``predictions/``, and prints per-view + fused per-class Dice
+mean±std in the reference's report format (``eval.py:218-233``).
+"""
+
+import argparse
+import logging
+import os
+import sys
+
+import numpy as np
+
+from pmpu_tpu.config import add_eval_args, config_from_args
+from pmpu_tpu.data.volumes import VolumeStore
+from pmpu_tpu.inference.engine import VolumeEvaluator
+from pmpu_tpu.train import checkpoint as ckpt
+from pmpu_tpu.train.tasks import make_task
+
+BANNER = "UNET EVALUATION (pmpu_tpu)"
+
+
+def load_variables(path: str, task, cfg):
+    """Load framework checkpoint or torch state_dict into flax variables."""
+    try:
+        payload = ckpt.load_checkpoint(path)
+        if isinstance(payload, dict) and "params" in payload:
+            return {"params": payload["params"], "batch_stats": payload["batch_stats"]}
+    except Exception:
+        pass
+    # torch state_dict fallback (reference checkpoints)
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    kw = {}
+    if cfg.net == "probunet":
+        kw = dict(no_convs_per_block=2, no_convs_fcomb=cfg.no_convs_fcomb)
+    return ckpt.import_torch_state_dict(sd, cfg.net, num_filters=tuple(cfg.num_filters), **kw)
+
+
+def main() -> int:
+    logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
+    parser = argparse.ArgumentParser(
+        description="Predict using a trained UNet",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    args = add_eval_args(parser).parse_args()
+    cfg = config_from_args(args)
+    print(BANNER)
+
+    if cfg.dir is None:
+        parser.error("-d/--dir DATA_DIR is required")
+    # eval constructs both models with n_classes=3 (reference eval.py:85-88)
+    if cfg.n_classes is None:
+        cfg.n_classes = 3
+    task = make_task(cfg.net, **cfg.task_kwargs())
+
+    store = VolumeStore.from_dirs(os.path.join(cfg.dir, "images"), os.path.join(cfg.dir, "labels"))
+    logging.info("%d volumes, cube %d", len(store), store.cube)
+
+    import jax
+    import jax.numpy as jnp
+
+    if cfg.load:
+        variables = load_variables(cfg.load, task, cfg)
+    else:
+        logging.warning("no -f/--load given: evaluating an untrained model")
+        s = store.cube
+        variables = task.init_variables(
+            jax.random.key(cfg.seed),
+            jnp.zeros((1, s, s, 1)),
+            jnp.zeros((1, s, s, 1), jnp.int32),
+        )
+
+    evaluator = VolumeEvaluator(
+        task,
+        n_samples=cfg.eval_samples if cfg.net == "probunet" else 1,
+        eval_batch=cfg.eval_batch,
+        num_views=cfg.num_views,
+    )
+    os.makedirs("predictions", exist_ok=True)
+    report = evaluator.evaluate_store(
+        variables, store, key=jax.random.key(cfg.seed), save_dir="predictions"
+    )
+
+    for v, arr in enumerate(report["per_view"]):
+        print(f"view {v + 1} dice: mean={arr.mean(axis=0)}, std={arr.std(axis=0)}")
+    fused = report["fused"]
+    print(f"avg volume: mean={fused.mean(axis=0)}, std={fused.std(axis=0)}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -107,6 +107,15 @@ def _add_extension_args(p: argparse.ArgumentParser):
     g.add_argument("--eval-batch", dest="eval_batch", type=int, default=0)
     g.add_argument("--data-parallel", dest="data_parallel", action="store_true")
     g.add_argument("--n-classes", dest="n_classes", type=int, default=None)
+    g.add_argument(
+        "--num-filters",
+        dest="num_filters",
+        type=lambda v: tuple(int(x) for x in v.split(",")),
+        default=(64, 128, 256, 512, 1024),
+        help="comma-separated encoder widths (reference default 64,128,256,512,1024)",
+    )
+    g.add_argument("--latent-dim", dest="latent_dim", type=int, default=6)
+    g.add_argument("--beta", dest="beta", type=float, default=10.0)
 
 
 def config_from_args(args: argparse.Namespace) -> Config:

@@ -52,11 +52,19 @@ class VolumeEvaluator:
       num_views: 3 → exact reference multi-planar path; else isotropic oblique
     """
 
-    def __init__(self, task, n_samples: int = 5, eval_batch: int = 0, num_views: int = 3):
+    def __init__(
+        self,
+        task,
+        n_samples: int = 5,
+        eval_batch: int = 0,
+        num_views: int = 3,
+        mesh=None,
+    ):
         self.task = task
         self.n_samples = n_samples
         self.eval_batch = eval_batch
         self.num_views = num_views
+        self.mesh = mesh  # shard the slice-slab batch axis over mesh 'data'
         self._bases = None if num_views == 3 else jnp.asarray(make_view_bases(num_views))
         self._predict = jax.jit(self._predict_volume)
         self._report = jax.jit(self._dice_report)
@@ -85,6 +93,14 @@ class VolumeEvaluator:
         return self.task.net.apply(variables, x, train=False)
 
     def _chunked_logits(self, variables, slabs, key):
+        if self.mesh is not None:
+            # slice-parallel (the reference's "sequence" axis, SURVEY.md §5):
+            # shard the slab batch axis; fusion all-gathers through XLA
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            slabs = jax.lax.with_sharding_constraint(
+                slabs, NamedSharding(self.mesh, P("data"))
+            )
         total = slabs.shape[0]
         b = self.eval_batch if self.eval_batch else total
         nchunk = -(-total // b)

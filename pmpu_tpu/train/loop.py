@@ -102,6 +102,34 @@ def train_net(cfg: Config, store: VolumeStore, interrupt_flag=None):
     history = {"train_loss": [], "val_loss": [], "val_dice": [], "step_time": []}
     os.makedirs(cfg.checkpoint_dir, exist_ok=True)
 
+    latest = {"state": state}
+    try:
+        state = _run_epochs(
+            cfg, task, latest, train_step, eval_step, plateau, writer, key,
+            images_d, labels_d, index, train_idx, val_idx, rng, per_step,
+            n_classes, history, interrupt_flag,
+        )
+    except KeyboardInterrupt:
+        # emergency checkpoint — reference train.py:271-273
+        ckpt.save_checkpoint("INTERRUPTED.pth", latest["state"], plateau, key)
+        log.info("Saved interrupt")
+        raise
+
+    if cfg.save_cp:
+        path = os.path.join(cfg.checkpoint_dir, f"{task.name}_model.pt")
+        ckpt.save_checkpoint(path, state, plateau, key)
+        log.info("Saved model %s", path)
+    writer.close()
+    return state, task, history
+
+
+def _run_epochs(
+    cfg, task, latest, train_step, eval_step, plateau, writer, key,
+    images_d, labels_d, index, train_idx, val_idx, rng, per_step,
+    n_classes, history, interrupt_flag,
+):
+    state = latest["state"]
+    global_step = 0
     for epoch in range(cfg.epochs):
         # ---------------- train phase ----------------
         order = rng.permutation(len(train_idx))
@@ -115,6 +143,7 @@ def train_net(cfg: Config, store: VolumeStore, interrupt_flag=None):
             key, sk = jax.random.split(key)
             t0 = time.perf_counter()
             state, metrics = train_step(state, images_d, labels_d, triples, sk, plateau.lr)
+            latest["state"] = state
             loss = float(metrics["loss"])
             epoch_losses.append(loss)
             writer.scalar("Loss/train", loss, global_step)
@@ -167,9 +196,4 @@ def train_net(cfg: Config, store: VolumeStore, interrupt_flag=None):
             ckpt.save_checkpoint(path, state, plateau, key)
             log.info("Saved model %s", path)
 
-    if cfg.save_cp:
-        path = os.path.join(cfg.checkpoint_dir, f"{task.name}_model.pt")
-        ckpt.save_checkpoint(path, state, plateau, key)
-        log.info("Saved model %s", path)
-    writer.close()
-    return state, task, history
+    return state

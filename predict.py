@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Predict CLI — single-volume segmentation.
+
+The reference's ``predict.py`` is truncated/dead (19 lines, dangling
+``net.sample`` — SURVEY.md §0); this completes its evident intent: load a
+checkpoint, segment one NIfTI volume with multi-view fusion (probunet:
+N prior samples), and save the fused argmax segmentation (plus optional
+per-voxel uncertainty map).
+
+    python predict.py -m probunet -f ckpt.pt -i scan.nii -o seg.nii
+"""
+
+import argparse
+import logging
+import sys
+
+import numpy as np
+
+from pmpu_tpu.config import Config
+from pmpu_tpu.data import nifti
+from pmpu_tpu.data.volumes import pad_to_cube
+from pmpu_tpu.inference.engine import VolumeEvaluator
+from pmpu_tpu.train.tasks import make_task
+
+
+def get_args():
+    p = argparse.ArgumentParser(
+        description="Predict masks from input images",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p.add_argument("-f", "--load", dest="load", type=str, default=None, help="checkpoint")
+    p.add_argument("-m", "--model", dest="net", type=str, default="unet")
+    p.add_argument("-i", "--input", dest="input", type=str, required=True, help="input .nii[.gz]")
+    p.add_argument("-o", "--output", dest="output", type=str, default="prediction.nii")
+    p.add_argument("--uncertainty", type=str, default=None, help="also save entropy map .nii")
+    p.add_argument("--eval-samples", dest="eval_samples", type=int, default=5)
+    p.add_argument("--eval-batch", dest="eval_batch", type=int, default=0)
+    p.add_argument("--num-views", dest="num_views", type=int, default=3)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args()
+
+
+def main() -> int:
+    logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
+    args = get_args()
+    cfg = Config(net=args.net, n_classes=3, load=args.load,
+                 eval_samples=args.eval_samples, eval_batch=args.eval_batch,
+                 num_views=args.num_views, seed=args.seed)
+    task = make_task(cfg.net, **cfg.task_kwargs())
+
+    vol = pad_to_cube(nifti.load(args.input))
+    logging.info("input %s → cube %s", args.input, vol.shape)
+
+    import jax
+    import jax.numpy as jnp
+
+    if args.load:
+        from eval import load_variables
+
+        variables = load_variables(args.load, task, cfg)
+    else:
+        logging.warning("no checkpoint: predicting with an untrained model")
+        s = vol.shape[0]
+        variables = task.init_variables(
+            jax.random.key(0), jnp.zeros((1, s, s, 1)), jnp.zeros((1, s, s, 1), jnp.int32)
+        )
+
+    ev = VolumeEvaluator(
+        task,
+        n_samples=cfg.eval_samples if cfg.net == "probunet" else 1,
+        eval_batch=cfg.eval_batch,
+        num_views=cfg.num_views,
+    )
+    res = ev.evaluate_volume(variables, vol, key=jax.random.key(args.seed))
+    nifti.save(args.output, res["argmax"].astype(np.float32))
+    logging.info("saved %s", args.output)
+    if args.uncertainty:
+        fused = np.asarray(res["fused"])
+        entropy = -np.sum(fused * np.log(fused + 1e-12), axis=-1)
+        nifti.save(args.uncertainty, entropy.astype(np.float32))
+        logging.info("saved %s", args.uncertainty)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

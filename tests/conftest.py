@@ -1,9 +1,15 @@
 """Test env: force CPU with 8 virtual devices so mesh/pjit/collective tests
-run without TPU hardware (SURVEY.md §4.4)."""
+run without TPU hardware (SURVEY.md §4.4).
+
+The image's sitecustomize pins JAX_PLATFORMS=axon (the TPU tunnel), so the
+env var alone is not enough — the jax config must be updated before any
+backend initialization (conftest imports before all test modules)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)

@@ -1,0 +1,98 @@
+"""End-to-end CLI tests: train → checkpoint → eval → predict →
+visualize_sampling over a synthetic NIfTI dataset (SURVEY.md §4.3)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from pmpu_tpu.data import nifti
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def make_dataset(root, n=2, s=16, seed=3):
+    rng = np.random.default_rng(seed)
+    for split in ("train", "test"):
+        (root / split / "images").mkdir(parents=True)
+        (root / split / "labels").mkdir(parents=True)
+        for i in range(n):
+            img = rng.random((s, s, s)).astype(np.float32) * 0.2
+            lbl = np.zeros((s, s, s), dtype=np.float32)
+            c = s // 2
+            lbl[c - 3 : c + 3, c - 3 : c + 3, c - 3 : c + 3] = 1
+            lbl[c - 1 : c + 1, c - 1 : c + 1, c - 1 : c + 1] = 2
+            img += 0.7 * (lbl == 1) + 0.3 * (lbl == 2)
+            nifti.save(root / split / "images" / f"image{i}.nii", img)
+            nifti.save(root / split / "labels" / f"image{i}.nii", lbl)
+
+
+def run_cli(script, *args, cwd):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, script), *args],
+        cwd=cwd,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1200,
+    )
+    assert res.returncode == 0, f"{script} failed:\n{res.stdout}\n{res.stderr}"
+    return res
+
+
+@pytest.mark.slow
+def test_cli_train_eval_predict_roundtrip(tmp_path):
+    make_dataset(tmp_path / "data")
+    common = ["--num-filters", "4,8"]
+
+    run_cli(
+        "train.py", "-m", "probunet", "-d", str(tmp_path / "data" / "train"),
+        "-e", "1", "-b", "2", *common, "--checkpoint-dir", str(tmp_path / "ckpt"),
+        cwd=tmp_path,
+    )
+    ck = tmp_path / "ckpt" / "probunet_model.pt"
+    assert ck.exists()
+
+    res = run_cli(
+        "eval.py", "-m", "probunet", "-f", str(ck), "-d", str(tmp_path / "data" / "test"),
+        *common, "--eval-samples", "2", "--eval-batch", "8",
+        cwd=tmp_path,
+    )
+    assert "avg volume" in res.stdout
+    preds = list((tmp_path / "predictions").glob("*.nii"))
+    assert len(preds) == 2
+    seg = nifti.load(preds[0])
+    assert seg.shape == (16, 16, 16)
+
+    run_cli(
+        "predict.py", "-m", "probunet", "-f", str(ck),
+        "-i", str(tmp_path / "data" / "test" / "images" / "image0.nii"),
+        "-o", str(tmp_path / "seg.nii"), "--uncertainty", str(tmp_path / "unc.nii"),
+        "--eval-samples", "2",
+        cwd=tmp_path,
+    )
+    assert (tmp_path / "seg.nii").exists()
+    unc = nifti.load(tmp_path / "unc.nii")
+    assert np.isfinite(unc).all()
+
+    run_cli(
+        "visualize_sampling.py", "-f", str(ck), "-d", str(tmp_path / "data" / "train"),
+        cwd=tmp_path,
+    )
+    assert (tmp_path / "viz_grid.png").exists() or (tmp_path / "viz_grid.png.npy").exists()
+
+
+@pytest.mark.slow
+def test_cli_train_unet_binary(tmp_path):
+    make_dataset(tmp_path / "data")
+    run_cli(
+        "train.py", "-m", "unet", "-d", str(tmp_path / "data" / "train"),
+        "-e", "1", "-b", "2", "--num-filters", "4,8",
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+        cwd=tmp_path,
+    )
+    assert (tmp_path / "ckpt" / "unet_model.pt").exists()
