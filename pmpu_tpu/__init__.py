@@ -15,6 +15,21 @@ evaluation — built TPU-first:
 * scaling is expressed with ``jax.sharding.Mesh`` + XLA collectives.
 """
 
+import os as _os
+
+if _os.environ.get("PMPU_FORCE_CPU"):
+    # must run before any JAX backend initialization (the image's
+    # sitecustomize pins the axon TPU platform regardless of JAX_PLATFORMS)
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", "cpu")
+        _jax.config.update(
+            "jax_num_cpu_devices", int(_os.environ.get("PMPU_CPU_DEVICES", "1"))
+        )
+    except RuntimeError:
+        pass  # backend already up — leave it be
+
 __version__ = "0.1.0"
 
 from pmpu_tpu.models import UNet, ProbabilisticUNet  # noqa: F401

@@ -23,6 +23,15 @@ import numpy as np
 from pmpu_tpu.data import nifti
 
 
+def make_view_stacks(arr: np.ndarray) -> np.ndarray:
+    """(N,S,S,S) → (3,N,S,S,S) pre-transposed per-view stacks: stack[v,n,i]
+    is exactly ``sample_slice(vol_n, view v, slice i)`` as a CONTIGUOUS
+    (S,S) plane — the TPU-native layout trade (3× HBM for contiguous DMA
+    instead of strided axis-2 gathers). Consumed by the Pallas slice-gather
+    kernel and the XLA ``sample_batch_vt``."""
+    return np.stack([arr, arr.transpose(0, 2, 1, 3), arr.transpose(0, 3, 1, 2)])
+
+
 def pad_to_cube(vol: np.ndarray, size: int | None = None) -> np.ndarray:
     """Zero-pad a 3-D volume at the high end of each axis to ``size``
     (default: its own max dimension) — reference ``mri_dataset.py:85-98``."""

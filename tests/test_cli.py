@@ -31,7 +31,7 @@ def make_dataset(root, n=2, s=16, seed=3):
 
 def run_cli(script, *args, cwd):
     env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
+    env["PMPU_FORCE_CPU"] = "1"
     res = subprocess.run(
         [sys.executable, os.path.join(REPO, script), *args],
         cwd=cwd,
