@@ -26,24 +26,6 @@ from pmpu_tpu.train.tasks import make_task
 BANNER = "UNET EVALUATION (pmpu_tpu)"
 
 
-def load_variables(path: str, task, cfg):
-    """Load framework checkpoint or torch state_dict into flax variables."""
-    try:
-        payload = ckpt.load_checkpoint(path)
-        if isinstance(payload, dict) and "params" in payload:
-            return {"params": payload["params"], "batch_stats": payload["batch_stats"]}
-    except Exception:
-        pass
-    # torch state_dict fallback (reference checkpoints)
-    import torch
-
-    sd = torch.load(path, map_location="cpu", weights_only=True)
-    kw = {}
-    if cfg.net == "probunet":
-        kw = dict(no_convs_per_block=2, no_convs_fcomb=cfg.no_convs_fcomb)
-    return ckpt.import_torch_state_dict(sd, cfg.net, num_filters=tuple(cfg.num_filters), **kw)
-
-
 def main() -> int:
     logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
     parser = argparse.ArgumentParser(
@@ -59,7 +41,6 @@ def main() -> int:
     # eval constructs both models with n_classes=3 (reference eval.py:85-88)
     if cfg.n_classes is None:
         cfg.n_classes = 3
-    task = make_task(cfg.net, **cfg.task_kwargs())
 
     store = VolumeStore.from_dirs(os.path.join(cfg.dir, "images"), os.path.join(cfg.dir, "labels"))
     logging.info("%d volumes, cube %d", len(store), store.cube)
@@ -68,8 +49,9 @@ def main() -> int:
     import jax.numpy as jnp
 
     if cfg.load:
-        variables = load_variables(cfg.load, task, cfg)
+        task, variables, cfg = ckpt.load_for_inference(cfg.load, cfg)
     else:
+        task = make_task(cfg.net, **cfg.task_kwargs())
         logging.warning("no -f/--load given: evaluating an untrained model")
         s = store.cube
         variables = task.init_variables(

@@ -69,17 +69,37 @@ class VolumeStore:
         return self.images.shape[0]
 
     @classmethod
-    def from_dirs(cls, imgs_dir, masks_dir, dtype=np.float32) -> "VolumeStore":
+    def from_dirs(
+        cls, imgs_dir, masks_dir, dtype=np.float32, use_native: bool | None = None
+    ) -> "VolumeStore":
         """Load a ``{images,labels}`` directory pair (reference data tree
         layout, ``Utils/nii.py:96-105``). File names are shared between the
-        two dirs (``mri_dataset.py:124-126``)."""
+        two dirs (``mri_dataset.py:124-126``).
+
+        ``use_native``: True/False forces the multithreaded C++ loader /
+        pure-Python loader; None auto-selects (native when built,
+        behavior-identical — tested)."""
         ids = sorted(os.listdir(imgs_dir))
         if not ids:
             raise FileNotFoundError(f"no volumes in {imgs_dir}")
+        img_paths = [os.path.join(imgs_dir, n) for n in ids]
+        lbl_paths = [os.path.join(masks_dir, n) for n in ids]
+
+        if use_native is None or use_native:
+            from pmpu_tpu.data import native
+
+            if native.available():
+                cube = int(max(max(native.read_shape(p)[:3]) for p in img_paths))
+                images = native.load_dataset(img_paths, cube)
+                labels = native.load_dataset(lbl_paths, cube).astype(np.int32)
+                return cls(images=images.astype(dtype, copy=False), labels=labels, ids=ids, cube=cube)
+            if use_native:
+                raise RuntimeError("native io requested but unavailable")
+
         imgs, lbls = [], []
-        for name in ids:
-            img = nifti.load(os.path.join(imgs_dir, name), dtype=dtype)
-            lbl = nifti.load(os.path.join(masks_dir, name), dtype=dtype)
+        for ip, lp, name in zip(img_paths, lbl_paths, ids):
+            img = nifti.load(ip, dtype=dtype)
+            lbl = nifti.load(lp, dtype=dtype)
             if img.shape != lbl.shape:
                 raise ValueError(f"{name}: image {img.shape} != label {lbl.shape}")
             imgs.append(img)

@@ -86,6 +86,55 @@ def restore_train_state(path: str, state, strict: bool = False):
     return state, payload
 
 
+def load_for_inference(path: str, cfg):
+    """Build (task, variables) for a checkpoint.
+
+    Framework checkpoints carry their model config (saved by the training
+    loop) — it overrides cfg's architecture flags so eval/predict always
+    reconstruct the trained architecture. torch ``state_dict`` files (the
+    reference's format) fall back to cfg's flags for the architecture.
+    """
+    from pmpu_tpu.train.tasks import make_task
+
+    payload = None
+    try:
+        payload = load_checkpoint(path)
+        if not (isinstance(payload, dict) and "params" in payload):
+            payload = None
+    except Exception:
+        payload = None
+
+    if payload is not None:
+        mc = (payload.get("extra") or {}).get("model_config")
+        if mc:
+            cfg = type(cfg)(
+                **{
+                    **{f.name: getattr(cfg, f.name) for f in __import__("dataclasses").fields(cfg)},
+                    "net": mc["net"],
+                    "n_channels": mc.get("n_channels", 1),
+                    "n_classes": mc.get("n_classes"),
+                    "num_filters": tuple(mc.get("num_filters", cfg.num_filters)),
+                    "latent_dim": mc.get("latent_dim", cfg.latent_dim),
+                    "no_convs_fcomb": mc.get("no_convs_fcomb", cfg.no_convs_fcomb),
+                    "beta": mc.get("beta", cfg.beta),
+                }
+            )
+        task = make_task(cfg.net, **cfg.task_kwargs())
+        variables = {"params": payload["params"], "batch_stats": payload["batch_stats"]}
+        return task, variables, cfg
+
+    # torch state_dict fallback (reference checkpoints): architecture from cfg
+    import torch
+
+    task = make_task(cfg.net, **cfg.task_kwargs())
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    kw = {}
+    if cfg.net == "probunet":
+        kw = dict(no_convs_per_block=2, no_convs_fcomb=cfg.no_convs_fcomb)
+    variables = import_torch_state_dict(sd, cfg.net, num_filters=tuple(cfg.num_filters), **kw)
+    return task, variables, cfg
+
+
 # ---------------------------------------------------------------------------
 # torch state_dict interop (reference checkpoint format)
 # ---------------------------------------------------------------------------

@@ -102,6 +102,7 @@ def train_net(cfg: Config, store: VolumeStore, interrupt_flag=None):
     history = {"train_loss": [], "val_loss": [], "val_dice": [], "step_time": []}
     os.makedirs(cfg.checkpoint_dir, exist_ok=True)
 
+    model_extra = {"model_config": _model_config(cfg, task)}
     latest = {"state": state}
     try:
         state = _run_epochs(
@@ -111,16 +112,30 @@ def train_net(cfg: Config, store: VolumeStore, interrupt_flag=None):
         )
     except KeyboardInterrupt:
         # emergency checkpoint — reference train.py:271-273
-        ckpt.save_checkpoint("INTERRUPTED.pth", latest["state"], plateau, key)
+        ckpt.save_checkpoint("INTERRUPTED.pth", latest["state"], plateau, key, extra=model_extra)
         log.info("Saved interrupt")
         raise
 
     if cfg.save_cp:
         path = os.path.join(cfg.checkpoint_dir, f"{task.name}_model.pt")
-        ckpt.save_checkpoint(path, state, plateau, key)
+        ckpt.save_checkpoint(path, state, plateau, key, extra=model_extra)
         log.info("Saved model %s", path)
     writer.close()
     return state, task, history
+
+
+def _model_config(cfg: Config, task) -> dict:
+    """Model hyperparams persisted with every checkpoint so inference CLIs
+    reconstruct the exact architecture without re-specifying flags."""
+    d = {
+        "net": cfg.net,
+        "n_channels": cfg.n_channels,
+        "n_classes": task.n_classes,
+        "num_filters": list(cfg.num_filters),
+    }
+    if cfg.net == "probunet":
+        d.update(latent_dim=cfg.latent_dim, no_convs_fcomb=cfg.no_convs_fcomb, beta=cfg.beta)
+    return d
 
 
 def _run_epochs(
@@ -193,7 +208,7 @@ def _run_epochs(
 
         if cfg.save_cp:
             path = os.path.join(cfg.checkpoint_dir, f"{task.name}_checkpoint{epoch}.pt")
-            ckpt.save_checkpoint(path, state, plateau, key)
+            ckpt.save_checkpoint(path, state, plateau, key, extra={"model_config": _model_config(cfg, task)})
             log.info("Saved model %s", path)
 
     return state

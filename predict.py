@@ -46,7 +46,7 @@ def main() -> int:
     cfg = Config(net=args.net, n_classes=3, load=args.load,
                  eval_samples=args.eval_samples, eval_batch=args.eval_batch,
                  num_views=args.num_views, seed=args.seed)
-    task = make_task(cfg.net, **cfg.task_kwargs())
+    task = None if args.load else make_task(cfg.net, **cfg.task_kwargs())
 
     vol = pad_to_cube(nifti.load(args.input))
     logging.info("input %s → cube %s", args.input, vol.shape)
@@ -55,9 +55,9 @@ def main() -> int:
     import jax.numpy as jnp
 
     if args.load:
-        from eval import load_variables
+        from pmpu_tpu.train.checkpoint import load_for_inference
 
-        variables = load_variables(args.load, task, cfg)
+        task, variables, cfg = load_for_inference(args.load, cfg)
     else:
         logging.warning("no checkpoint: predicting with an untrained model")
         s = vol.shape[0]

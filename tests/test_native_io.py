@@ -1,0 +1,66 @@
+"""Native C++ NIfTI loader parity vs the pure-Python loader (skipped when
+the toolchain can't build libpmpu_io.so)."""
+
+import numpy as np
+import pytest
+
+from pmpu_tpu.data import native, nifti
+from pmpu_tpu.data.volumes import VolumeStore, pad_to_cube
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="native io not built")
+
+RNG = np.random.default_rng(41)
+
+
+@pytest.mark.parametrize("suffix", [".nii", ".nii.gz"])
+@pytest.mark.parametrize("dtype", [np.float32, np.float64, np.int16, np.uint8])
+def test_native_volume_parity(tmp_path, suffix, dtype):
+    data = (RNG.random((5, 7, 6)) * 100).astype(dtype)
+    p = str(tmp_path / f"v{suffix}")
+    nifti.save(p, data)
+    np.testing.assert_allclose(native.load_volume(p), nifti.load(p), rtol=1e-6)
+
+
+def test_native_scl_scaling(tmp_path):
+    import struct
+
+    data = np.arange(8, dtype=np.int16).reshape(2, 2, 2)
+    p = tmp_path / "v.nii"
+    nifti.save(p, data)
+    raw = bytearray(p.read_bytes())
+    struct.pack_into("<f", raw, 112, 2.0)
+    struct.pack_into("<f", raw, 116, 1.5)
+    p.write_bytes(bytes(raw))
+    np.testing.assert_allclose(native.load_volume(str(p)), data * 2.0 + 1.5)
+
+
+def test_native_dataset_pad_to_cube(tmp_path):
+    paths = []
+    for i, shape in enumerate([(4, 6, 6), (6, 6, 6), (3, 5, 6)]):
+        p = str(tmp_path / f"v{i}.nii")
+        nifti.save(p, (RNG.random(shape) * 10).astype(np.float32))
+        paths.append(p)
+    stack = native.load_dataset(paths, cube=6)
+    assert stack.shape == (3, 6, 6, 6)
+    for i, p in enumerate(paths):
+        np.testing.assert_allclose(stack[i], pad_to_cube(nifti.load(p), 6), rtol=1e-6)
+
+
+def test_volume_store_native_matches_python(tmp_path):
+    (tmp_path / "images").mkdir()
+    (tmp_path / "labels").mkdir()
+    for i, shape in enumerate([(4, 6, 6), (6, 6, 6)]):
+        nifti.save(tmp_path / "images" / f"image{i}.nii", (RNG.random(shape) * 50).astype(np.float32))
+        nifti.save(tmp_path / "labels" / f"image{i}.nii", RNG.integers(0, 3, size=shape).astype(np.float32))
+    a = VolumeStore.from_dirs(tmp_path / "images", tmp_path / "labels", use_native=True)
+    b = VolumeStore.from_dirs(tmp_path / "images", tmp_path / "labels", use_native=False)
+    np.testing.assert_allclose(a.images, b.images, rtol=1e-6)
+    np.testing.assert_array_equal(a.labels, b.labels)
+    assert a.cube == b.cube and a.ids == b.ids
+
+
+def test_native_error_on_garbage(tmp_path):
+    p = tmp_path / "bad.nii"
+    p.write_bytes(b"\x00" * 400)
+    with pytest.raises(ValueError):
+        native.load_volume(str(p))

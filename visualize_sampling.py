@@ -48,7 +48,7 @@ def main() -> int:
     args = p.parse_args()
 
     cfg = Config(net="probunet", n_classes=3, load=args.load)
-    task = make_task(cfg.net, **cfg.task_kwargs())
+    task = None if args.load else make_task(cfg.net, **cfg.task_kwargs())
     store = VolumeStore.from_dirs(os.path.join(args.dir, "images"), os.path.join(args.dir, "labels"))
     index = build_index_map(store.labels, filter=True)
 
@@ -64,9 +64,9 @@ def main() -> int:
 
     s = img.shape[0]
     if args.load:
-        from eval import load_variables
+        from pmpu_tpu.train.checkpoint import load_for_inference
 
-        variables = load_variables(args.load, task, cfg)
+        task, variables, cfg = load_for_inference(args.load, cfg)
     else:
         logging.warning("no checkpoint: visualizing an untrained model")
         variables = task.init_variables(
