@@ -50,6 +50,10 @@ class Config:
     eval_samples: int = 5  # prior samples per slice for probunet eval (eval.py:148)
     eval_batch: int = 0  # slices per model invocation at eval; 0 = whole view
     data_parallel: bool = False  # shard batch over a data mesh axis
+    view_stacks: bool = True  # pre-transposed (3,N,S,S,S) layout (3x HBM)
+    pallas_sampler: bool = False  # fused Pallas gather kernel (TPU only)
+    profile_dir: Optional[str] = None  # capture a jax.profiler trace here
+    nan_checks: bool = False  # jax_debug_nans
 
     def resolved_n_classes(self) -> int:
         if self.n_classes is not None:
@@ -116,6 +120,10 @@ def _add_extension_args(p: argparse.ArgumentParser):
     )
     g.add_argument("--latent-dim", dest="latent_dim", type=int, default=6)
     g.add_argument("--beta", dest="beta", type=float, default=10.0)
+    g.add_argument("--no-view-stacks", dest="view_stacks", action="store_false")
+    g.add_argument("--pallas-sampler", dest="pallas_sampler", action="store_true")
+    g.add_argument("--profile-dir", dest="profile_dir", type=str, default=None)
+    g.add_argument("--nan-checks", dest="nan_checks", action="store_true")
 
 
 def config_from_args(args: argparse.Namespace) -> Config:

@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import logging
 import os
-import time
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +35,7 @@ from pmpu_tpu.train.steps import (
 )
 from pmpu_tpu.train.tasks import make_task
 from pmpu_tpu.utils import MetricWriter, mask_to_image
+from pmpu_tpu.utils.profiling import StepTimer, enable_nan_checks, trace
 
 log = logging.getLogger(__name__)
 
@@ -50,6 +50,8 @@ def split_indices(n: int, val_percent: float, rng: np.random.Generator):
 
 def train_net(cfg: Config, store: VolumeStore, interrupt_flag=None):
     """Run training; returns (state, task, history dict)."""
+    if cfg.nan_checks:
+        enable_nan_checks()
     task = make_task(cfg.net, **cfg.task_kwargs())
     n_classes = task.n_classes
 
@@ -57,8 +59,22 @@ def train_net(cfg: Config, store: VolumeStore, interrupt_flag=None):
     index = build_index_map(store.labels, filter=True)
     rng = np.random.default_rng(cfg.seed)
     train_idx, val_idx = split_indices(len(index), cfg.val / 100.0, rng)
-    images_d = jax.device_put(jnp.asarray(store.images))
-    labels_d = jax.device_put(jnp.asarray(store.labels))
+    # pre-transposed (3,N,S,S,S) view stacks: every slice gather is one
+    # contiguous plane (3x HBM for bandwidth; cfg.view_stacks=False falls
+    # back to the plain layout for HBM-constrained datasets)
+    if cfg.view_stacks:
+        from pmpu_tpu.data.sampler import sample_batch_vt
+        from pmpu_tpu.data.volumes import make_view_stacks
+        from pmpu_tpu.ops.pallas.slice_gather import sample_batch_fused
+
+        images_d = jax.device_put(jnp.asarray(make_view_stacks(store.images)))
+        labels_d = jax.device_put(jnp.asarray(make_view_stacks(store.labels)))
+        sampler = sample_batch_fused if cfg.pallas_sampler else sample_batch_vt
+    else:
+        from pmpu_tpu.data.sampler import sample_batch as sampler
+
+        images_d = jax.device_put(jnp.asarray(store.images))
+        labels_d = jax.device_put(jnp.asarray(store.labels))
 
     # gradient accumulation: acc_steps=4 iff batch>4 (train.py:45-48)
     acc_steps = 4 if cfg.batchsize > 4 else 1
@@ -77,8 +93,8 @@ def train_net(cfg: Config, store: VolumeStore, interrupt_flag=None):
         state, _ = ckpt.restore_train_state(cfg.load, state, strict=False)
         log.info("restored checkpoint %s", cfg.load)
 
-    train_step = make_train_step(task, tx, acc_steps=acc_steps)
-    eval_step = make_eval_step(task)
+    train_step = make_train_step(task, tx, acc_steps=acc_steps, sampler=sampler)
+    eval_step = make_eval_step(task, sampler=sampler)
 
     plateau = ReduceLROnPlateau(
         lr=cfg.lr,
@@ -104,12 +120,14 @@ def train_net(cfg: Config, store: VolumeStore, interrupt_flag=None):
 
     model_extra = {"model_config": _model_config(cfg, task)}
     latest = {"state": state}
+    ctx = trace(cfg.profile_dir) if cfg.profile_dir else _nullcontext()
     try:
-        state = _run_epochs(
-            cfg, task, latest, train_step, eval_step, plateau, writer, key,
-            images_d, labels_d, index, train_idx, val_idx, rng, per_step,
-            n_classes, history, interrupt_flag,
-        )
+        with ctx:
+            state = _run_epochs(
+                cfg, task, latest, train_step, eval_step, plateau, writer, key,
+                images_d, labels_d, index, train_idx, val_idx, rng, per_step,
+                n_classes, history, interrupt_flag,
+            )
     except KeyboardInterrupt:
         # emergency checkpoint — reference train.py:271-273
         ckpt.save_checkpoint("INTERRUPTED.pth", latest["state"], plateau, key, extra=model_extra)
@@ -138,12 +156,22 @@ def _model_config(cfg: Config, task) -> dict:
     return d
 
 
+class _nullcontext:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
 def _run_epochs(
     cfg, task, latest, train_step, eval_step, plateau, writer, key,
     images_d, labels_d, index, train_idx, val_idx, rng, per_step,
     n_classes, history, interrupt_flag,
 ):
     state = latest["state"]
+    timer = StepTimer(slices_per_step=per_step)
+    history["perf"] = timer.summary()
     global_step = 0
     for epoch in range(cfg.epochs):
         # ---------------- train phase ----------------
@@ -156,16 +184,19 @@ def _run_epochs(
             sel = train_idx[order[i * per_step : (i + 1) * per_step]]
             triples = jnp.asarray(index[sel])
             key, sk = jax.random.split(key)
-            t0 = time.perf_counter()
+            timer.start()
             state, metrics = train_step(state, images_d, labels_d, triples, sk, plateau.lr)
+            loss = float(metrics["loss"])  # host sync: step complete
+            timer.stop()
             latest["state"] = state
-            loss = float(metrics["loss"])
             epoch_losses.append(loss)
             writer.scalar("Loss/train", loss, global_step)
-            if i >= 1:
-                history["step_time"].append(time.perf_counter() - t0)
             global_step += 1
         history["train_loss"].append(float(np.mean(epoch_losses)) if epoch_losses else float("nan"))
+        history["perf"] = timer.summary()
+        history["step_time"] = [timer.sec_per_step]
+        if timer.summary()["steps_timed"]:
+            writer.scalar("perf/slices_per_sec_per_chip", timer.slices_per_sec, global_step)
 
         # ---------------- validation phase ----------------
         val_steps = max(len(val_idx) // per_step, 1) if len(val_idx) else 0

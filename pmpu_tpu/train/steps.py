@@ -68,12 +68,14 @@ def create_train_state(task, key, sample_img, sample_msk, tx) -> TrainState:
     )
 
 
-def make_train_step(task, tx, acc_steps: int = 1, donate: bool = True):
+def make_train_step(task, tx, acc_steps: int = 1, donate: bool = True, sampler=sample_batch):
     """Build the jitted train step.
 
     signature: step(state, images, labels, triples, key, lr) → (state, metrics)
 
-    * images/labels: device-resident padded volume stacks (N,S,S,S)
+    * images/labels: device-resident padded volume stacks — (N,S,S,S) with
+      the default sampler, or pre-transposed (3,N,S,S,S) view stacks with
+      ``sampler=sample_batch_vt`` / the Pallas fused kernel
     * triples: (acc_steps * micro_b, 3) int32 (scan, view, slice) rows
     * grad accumulation: mean of microbatch grads == the reference's
       ``loss/acc_steps`` summed over ``acc_steps`` backwards (train.py:95-110)
@@ -92,7 +94,7 @@ def make_train_step(task, tx, acc_steps: int = 1, donate: bool = True):
         def body(carry, xs):
             grads_acc, bstats = carry
             tr, k = xs
-            img, msk = sample_batch(images, labels, tr)
+            img, msk = sampler(images, labels, tr)
             loss, grads, bstats, aux = loss_and_grads(state.params, bstats, img, msk, k)
             grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
             return (grads_acc, bstats), aux
@@ -119,12 +121,12 @@ def make_train_step(task, tx, acc_steps: int = 1, donate: bool = True):
     return jax.jit(step, donate_argnums=donate_argnums)
 
 
-def make_eval_step(task):
+def make_eval_step(task, sampler=sample_batch):
     """Jitted validation step: predict (BN eval mode) + per-class dice +
     val loss — reference validation phase ``train.py:119-182``."""
 
     def step(state: TrainState, images, labels, triples, key):
-        img, msk = sample_batch(images, labels, triples)
+        img, msk = sampler(images, labels, triples)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         loss, preds = task.val_loss(variables, img, msk, key)
         dice = per_class_dice(preds, msk, task.n_classes)

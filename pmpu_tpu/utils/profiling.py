@@ -1,0 +1,86 @@
+"""Tracing / profiling / debug subsystem (SURVEY.md §5 "Tracing").
+
+The reference has only tqdm bars and INFO logging (``train.py:72,131,229``).
+Here:
+
+* ``profiler_server``/``trace`` — jax.profiler hooks (TensorBoard-viewable
+  XLA traces; per-op HLO timings on TPU).
+* ``scope``          — ``jax.named_scope`` labels around pipeline stages so
+  traces show sampler/model/fusion regions.
+* ``StepTimer``      — wall-clock step stats → slices/sec/chip (the
+  BASELINE.md metric "train slices/sec/chip").
+* ``enable_nan_checks`` — ``jax_debug_nans`` (functional JAX is race-free
+  by construction — SURVEY §5 sanitizers — NaN checking is the useful
+  debug instrument here).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+
+import jax
+import numpy as np
+
+
+def profiler_server(port: int = 9999):
+    """Start the profiler server (connect via TensorBoard's profile tab)."""
+    return jax.profiler.start_server(port)
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    """Capture a profiler trace of the enclosed block into ``logdir``."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def scope(name: str):
+    """Named scope for trace readability (no-op outside tracing)."""
+    return jax.named_scope(name)
+
+
+def enable_nan_checks(enabled: bool = True):
+    """Turn on jax_debug_nans: any NaN produced under jit raises with the
+    offending primitive (gated by --nan-checks)."""
+    jax.config.update("jax_debug_nans", enabled)
+
+
+class StepTimer:
+    """Wall-clock step timing → steps/sec and slices/sec/chip."""
+
+    def __init__(self, slices_per_step: int, warmup: int = 1):
+        self.slices_per_step = slices_per_step
+        self.warmup = warmup
+        self._times: list[float] = []
+        self._seen = 0
+        self._t0 = None
+
+    def start(self):
+        self._t0 = time.perf_counter()
+
+    def stop(self):
+        dt = time.perf_counter() - self._t0
+        self._seen += 1
+        if self._seen > self.warmup:  # skip compile steps
+            self._times.append(dt)
+        return dt
+
+    @property
+    def sec_per_step(self) -> float:
+        return float(np.median(self._times)) if self._times else float("nan")
+
+    @property
+    def slices_per_sec(self) -> float:
+        n_dev = max(jax.device_count(), 1)
+        return self.slices_per_step / self.sec_per_step / n_dev if self._times else float("nan")
+
+    def summary(self) -> dict:
+        return {
+            "sec_per_step_median": self.sec_per_step,
+            "slices_per_sec_per_chip": self.slices_per_sec,
+            "steps_timed": len(self._times),
+        }
