@@ -86,6 +86,62 @@ def restore_train_state(path: str, state, strict: bool = False):
     return state, payload
 
 
+def save_checkpoint_orbax(directory: str, state, plateau=None, rng_key=None, extra=None):
+    """Orbax-backed checkpoint (directory format, async-capable, sharded-
+    array aware) — alternative to the single-file pickle format; use for
+    multi-host / very large states."""
+    import orbax.checkpoint as ocp
+
+    payload = {
+        "params": _to_host(state.params),
+        "batch_stats": _to_host(state.batch_stats),
+        "opt_state": _to_host(state.opt_state),
+        "step": int(state.step),
+    }
+    meta = {
+        "plateau": plateau.state_dict() if plateau is not None else None,
+        "rng_key": (np.asarray(jax.random.key_data(rng_key)).tolist() if rng_key is not None else None),
+        "extra": extra or {},
+    }
+    path = os.path.abspath(directory)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.join(path, "state"), payload, force=True)
+    import json
+
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def load_checkpoint_orbax(directory: str, like_state) -> tuple:
+    """Restore an Orbax checkpoint written by ``save_checkpoint_orbax``.
+    ``like_state`` provides the target structure/dtypes."""
+    import json
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(directory)
+    template = {
+        "params": _to_host(like_state.params),
+        "batch_stats": _to_host(like_state.batch_stats),
+        "opt_state": _to_host(like_state.opt_state),
+        "step": 0,
+    }
+    with ocp.StandardCheckpointer() as ckptr:
+        payload = ckptr.restore(os.path.join(path, "state"), template)
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    state = like_state.replace(
+        params=payload["params"],
+        batch_stats=payload["batch_stats"],
+        opt_state=jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(like_state.opt_state),
+            jax.tree_util.tree_leaves(payload["opt_state"]),
+        ),
+        step=jax.numpy.asarray(payload["step"], jax.numpy.int32),
+    )
+    return state, meta
+
+
 def load_for_inference(path: str, cfg):
     """Build (task, variables) for a checkpoint.
 

@@ -1,0 +1,116 @@
+"""Pipeline prefetcher, uncertainty maps, colorizer, profiling utils,
+orbax checkpoint backend."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pmpu_tpu.data.pipeline import PrefetchPipeline, gather_host_batch
+from pmpu_tpu.data.sampler import sample_batch
+from pmpu_tpu.inference.uncertainty import latent_grid, sample_grid, uncertainty_maps
+from pmpu_tpu.train.tasks import make_task
+from pmpu_tpu.utils.colorize import mask_to_image
+
+from tests.test_train import make_synthetic_store
+
+RNG = np.random.default_rng(51)
+
+
+def test_host_gather_matches_device_sampler():
+    store = make_synthetic_store(n=2, s=12)
+    triples = np.array([[0, 0, 3], [1, 1, 5], [0, 2, 7], [1, 0, 0]], np.int32)
+    hi, hm = gather_host_batch(store.images, store.labels, triples)
+    di, dm = sample_batch(jnp.asarray(store.images), jnp.asarray(store.labels), jnp.asarray(triples))
+    np.testing.assert_allclose(hi, np.asarray(di), rtol=1e-6)
+    np.testing.assert_array_equal(hm, np.asarray(dm))
+
+
+def test_prefetch_pipeline_streams_all_batches():
+    store = make_synthetic_store(n=2, s=12)
+    batches = [np.array([[0, v, i]], np.int32) for v in range(3) for i in range(4)]
+    pipe = PrefetchPipeline(store, depth=2)
+    out = list(pipe.iterate(batches))
+    assert len(out) == 12
+    for (di, dm), triples in zip(out, batches):
+        hi, hm = gather_host_batch(store.images, store.labels, triples)
+        np.testing.assert_allclose(np.asarray(di), hi, rtol=1e-6)
+
+
+def test_latent_grid_reference_sweep():
+    mu = np.arange(6.0)
+    sigma = np.full(6, 0.5)
+    zs = latent_grid(mu, sigma, n_preds=3, scale=40.0)
+    assert zs.shape == (9, 6)
+    # center cell = mu exactly
+    np.testing.assert_allclose(zs[4], mu)
+    # corners move dims 0/1 by ±1*(40*sigma)
+    np.testing.assert_allclose(zs[0][0], -40 * 0.5 + 0.0)
+    np.testing.assert_allclose(zs[0][1], -40 * 0.5 + 1.0)
+    np.testing.assert_allclose(zs[0][2:], mu[2:])
+
+
+def test_sample_grid_and_uncertainty_shapes():
+    task = make_task("probunet", num_filters=(4, 8))
+    img = RNG.random((16, 16)).astype(np.float32)
+    variables = task.init_variables(
+        jax.random.key(0), jnp.zeros((1, 16, 16, 1)), jnp.zeros((1, 16, 16, 1), jnp.int32)
+    )
+    grid, mu, sigma = sample_grid(task, variables, img, n_preds=3)
+    assert grid.shape == (9, 16, 16, 3)
+    assert mu.shape == (6,) and sigma.shape == (6,)
+    mean_p, entropy, var = uncertainty_maps(task, variables, img, n_samples=4)
+    assert mean_p.shape == (16, 16, 3)
+    assert entropy.shape == (16, 16) and var.shape == (16, 16)
+    assert np.all(entropy >= 0) and np.all(var >= 0)
+    np.testing.assert_allclose(mean_p.sum(-1), 1.0, rtol=1e-4)
+
+
+def test_mask_to_image_matches_reference_colors():
+    masks = np.array([[[0, 1], [2, 3]]])  # (1,2,2) labels
+    img = mask_to_image(masks, n_classes=4)
+    np.testing.assert_array_equal(img[0, 0, 0], [0, 0, 0])
+    np.testing.assert_array_equal(img[0, 0, 1], [0, 0, 1])
+    np.testing.assert_array_equal(img[0, 1, 0], [0, 1, 0])
+    np.testing.assert_array_equal(img[0, 1, 1], [1, 0, 0])
+    # prediction path: argmax over class logits
+    logits = np.zeros((1, 2, 2, 3))
+    logits[0, 0, 0, 2] = 5.0
+    img = mask_to_image(logits, n_classes=3, prediction=True)
+    np.testing.assert_array_equal(img[0, 0, 0], [0, 1, 0])
+
+
+def test_step_timer():
+    from pmpu_tpu.utils.profiling import StepTimer
+
+    t = StepTimer(slices_per_step=8, warmup=1)
+    import time
+
+    for _ in range(3):
+        t.start()
+        time.sleep(0.01)
+        t.stop()
+    s = t.summary()
+    assert s["steps_timed"] == 2
+    assert s["sec_per_step_median"] > 0.005
+    assert np.isfinite(s["slices_per_sec_per_chip"])
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    from pmpu_tpu.train import checkpoint as ckpt
+    from pmpu_tpu.train.schedule import ReduceLROnPlateau
+    from pmpu_tpu.train.steps import create_train_state, make_optimizer
+
+    task = make_task("unet", n_classes=2, num_filters=(4, 8))
+    tx = make_optimizer()
+    img = jnp.zeros((1, 16, 16, 1))
+    msk = jnp.zeros((1, 16, 16, 1), jnp.int32)
+    state = create_train_state(task, jax.random.key(0), img, msk, tx)
+    plateau = ReduceLROnPlateau(lr=0.5, mode="max")
+    ckpt.save_checkpoint_orbax(str(tmp_path / "ck"), state, plateau, jax.random.key(3), extra={"a": 1})
+
+    other = create_train_state(task, jax.random.key(9), img, msk, tx)
+    restored, meta = ckpt.load_checkpoint_orbax(str(tmp_path / "ck"), other)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params), jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert meta["plateau"]["lr"] == 0.5
+    assert meta["extra"]["a"] == 1
