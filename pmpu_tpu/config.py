@@ -54,6 +54,8 @@ class Config:
     pallas_sampler: bool = False  # fused Pallas gather kernel (TPU only)
     profile_dir: Optional[str] = None  # capture a jax.profiler trace here
     nan_checks: bool = False  # jax_debug_nans
+    augment: bool = False  # on-device augmentation (flips/rot90/intensity)
+    elastic_alpha: float = 0.0  # elastic deformation magnitude (pixels)
 
     def resolved_n_classes(self) -> int:
         if self.n_classes is not None:
@@ -124,6 +126,8 @@ def _add_extension_args(p: argparse.ArgumentParser):
     g.add_argument("--pallas-sampler", dest="pallas_sampler", action="store_true")
     g.add_argument("--profile-dir", dest="profile_dir", type=str, default=None)
     g.add_argument("--nan-checks", dest="nan_checks", action="store_true")
+    g.add_argument("--augment", dest="augment", action="store_true")
+    g.add_argument("--elastic-alpha", dest="elastic_alpha", type=float, default=0.0)
 
 
 def config_from_args(args: argparse.Namespace) -> Config:

@@ -93,7 +93,12 @@ def train_net(cfg: Config, store: VolumeStore, interrupt_flag=None):
         state, _ = ckpt.restore_train_state(cfg.load, state, strict=False)
         log.info("restored checkpoint %s", cfg.load)
 
-    train_step = make_train_step(task, tx, acc_steps=acc_steps, sampler=sampler)
+    aug = None
+    if cfg.augment:
+        from pmpu_tpu.data.augment import AugmentConfig
+
+        aug = AugmentConfig(elastic_alpha=cfg.elastic_alpha)
+    train_step = make_train_step(task, tx, acc_steps=acc_steps, sampler=sampler, augment=aug)
     eval_step = make_eval_step(task, sampler=sampler)
 
     plateau = ReduceLROnPlateau(

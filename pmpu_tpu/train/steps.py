@@ -68,7 +68,9 @@ def create_train_state(task, key, sample_img, sample_msk, tx) -> TrainState:
     )
 
 
-def make_train_step(task, tx, acc_steps: int = 1, donate: bool = True, sampler=sample_batch):
+def make_train_step(
+    task, tx, acc_steps: int = 1, donate: bool = True, sampler=sample_batch, augment=None
+):
     """Build the jitted train step.
 
     signature: step(state, images, labels, triples, key, lr) → (state, metrics)
@@ -79,7 +81,11 @@ def make_train_step(task, tx, acc_steps: int = 1, donate: bool = True, sampler=s
     * triples: (acc_steps * micro_b, 3) int32 (scan, view, slice) rows
     * grad accumulation: mean of microbatch grads == the reference's
       ``loss/acc_steps`` summed over ``acc_steps`` backwards (train.py:95-110)
+    * augment: optional AugmentConfig — on-device augmentation applied to
+      each microbatch inside the same XLA program
     """
+    if augment is not None:
+        from pmpu_tpu.data.augment import augment_batch
 
     def loss_and_grads(params, batch_stats, img, msk, key):
         grad_fn = jax.value_and_grad(task.train_loss, has_aux=True)
@@ -95,6 +101,8 @@ def make_train_step(task, tx, acc_steps: int = 1, donate: bool = True, sampler=s
             grads_acc, bstats = carry
             tr, k = xs
             img, msk = sampler(images, labels, tr)
+            if augment is not None:
+                img, msk = augment_batch(img, msk, jax.random.fold_in(k, 7), augment)
             loss, grads, bstats, aux = loss_and_grads(state.params, bstats, img, msk, k)
             grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
             return (grads_acc, bstats), aux
