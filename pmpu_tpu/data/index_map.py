@@ -27,6 +27,19 @@ def nonempty_table(labels: np.ndarray) -> np.ndarray:
     return table
 
 
+def build_index_map_from_table(table: np.ndarray, filter: bool = True) -> np.ndarray:
+    """(N,V,S) nonempty table → (M,3) (scan, view, slice) triples in
+    reference order; used for both standard and oblique view sets."""
+    n, v, s = table.shape
+    scans, views, slices = np.meshgrid(
+        np.arange(n), np.arange(v), np.arange(s), indexing="ij"
+    )
+    triples = np.stack([scans.ravel(), views.ravel(), slices.ravel()], axis=1).astype(np.int32)
+    if filter:
+        triples = triples[table.ravel()]
+    return triples
+
+
 def build_index_map(labels: np.ndarray, filter: bool = True) -> np.ndarray:
     """(M, 3) int32 array of (scan, view, slice) triples in reference order
     (scan-major, then view, then slice — ``mri_dataset.py:37-49``)."""

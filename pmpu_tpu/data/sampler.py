@@ -92,6 +92,62 @@ def sample_batch_vt(vt_images: jax.Array, vt_labels: jax.Array, triples: jax.Arr
     return jax.vmap(one)(triples)
 
 
+def make_oblique_sampler(bases):
+    """Training sampler over k isotropic oblique views (the reference's
+    arbitrary-axis TODO, ``mri_dataset.py:71``; BASELINE "6-view isotropic").
+
+    ``bases``: (V,3,3) orthonormal view bases (``view_basis`` rows u,v,n).
+    Returns sampler(images (N,S,S,S), labels (N,S,S,S), triples (B,3)) →
+    ((B,S,S,1) f32 normalized trilinear image planes, (B,S,S,1) i32
+    nearest-neighbor label planes). For the standard axes at integer
+    offsets this reduces to ``sample_batch`` exactly (tested).
+    """
+    bases = jnp.asarray(bases, jnp.float32)
+
+    def sampler(images, labels, triples):
+        s = images.shape[-1]
+        center = (s - 1) / 2.0
+
+        def one(tr):
+            scan, view, sl = tr[0], tr[1], tr[2]
+            basis = bases[view]
+            off = sl.astype(jnp.float32) - center
+            img_vol = jax.lax.dynamic_index_in_dim(images, scan, 0, keepdims=False)
+            lbl_vol = jax.lax.dynamic_index_in_dim(labels, scan, 0, keepdims=False)
+            img = normalize_slice(oblique_plane(img_vol, basis, off))
+            msk = oblique_plane(lbl_vol.astype(jnp.float32), basis, off, nearest=True)
+            return img[..., None].astype(jnp.float32), jnp.round(msk)[..., None].astype(jnp.int32)
+
+        return jax.vmap(one)(triples)
+
+    return sampler
+
+
+def oblique_nonempty_table(labels, bases) -> np.ndarray:
+    """(N,V,S) bool: does the (scan, view-basis, plane-offset) label plane
+    contain foreground? The oblique analogue of
+    ``index_map.nonempty_table`` — computed on device once at startup."""
+    labels = jnp.asarray(labels)
+    bases = jnp.asarray(bases, jnp.float32)
+    n, s = labels.shape[0], labels.shape[-1]
+    center = (s - 1) / 2.0
+    offsets = jnp.arange(s, dtype=jnp.float32) - center
+
+    @jax.jit
+    def per_scan(vol):
+        volf = vol.astype(jnp.float32)
+
+        def per_view(basis):
+            def per_off(off):
+                return jnp.max(oblique_plane(volf, basis, off, nearest=True)) > 0
+
+            return jax.vmap(per_off)(offsets)
+
+        return jax.vmap(per_view)(bases)
+
+    return np.stack([np.asarray(per_scan(labels[i])) for i in range(n)])
+
+
 # ---------------------------------------------------------------------------
 # Arbitrary-axis (oblique) sampling — the reference's TODO (mri_dataset.py:71)
 # ---------------------------------------------------------------------------

@@ -56,25 +56,44 @@ def train_net(cfg: Config, store: VolumeStore, interrupt_flag=None):
     n_classes = task.n_classes
 
     # --- data -----------------------------------------------------------
-    index = build_index_map(store.labels, filter=True)
     rng = np.random.default_rng(cfg.seed)
-    train_idx, val_idx = split_indices(len(index), cfg.val / 100.0, rng)
-    # pre-transposed (3,N,S,S,S) view stacks: every slice gather is one
-    # contiguous plane (3x HBM for bandwidth; cfg.view_stacks=False falls
-    # back to the plain layout for HBM-constrained datasets)
-    if cfg.view_stacks:
+    if cfg.num_views != 3:
+        # k-view isotropic oblique training (the reference's arbitrary-axis
+        # TODO, mri_dataset.py:71): trilinear plane sampler + on-device
+        # oblique nonempty filter
+        from pmpu_tpu.data.index_map import build_index_map_from_table
+        from pmpu_tpu.data.sampler import (
+            fibonacci_views,
+            make_oblique_sampler,
+            oblique_nonempty_table,
+            view_basis,
+        )
+
+        bases = np.stack([view_basis(a) for a in fibonacci_views(cfg.num_views)])
+        table = oblique_nonempty_table(store.labels, bases)
+        index = build_index_map_from_table(table, filter=True)
+        images_d = jax.device_put(jnp.asarray(store.images))
+        labels_d = jax.device_put(jnp.asarray(store.labels))
+        sampler = make_oblique_sampler(bases)
+    elif cfg.view_stacks:
+        # pre-transposed (3,N,S,S,S) view stacks: every slice gather is one
+        # contiguous plane (3x HBM for bandwidth; cfg.view_stacks=False falls
+        # back to the plain layout for HBM-constrained datasets)
         from pmpu_tpu.data.sampler import sample_batch_vt
         from pmpu_tpu.data.volumes import make_view_stacks
         from pmpu_tpu.ops.pallas.slice_gather import sample_batch_fused
 
+        index = build_index_map(store.labels, filter=True)
         images_d = jax.device_put(jnp.asarray(make_view_stacks(store.images)))
         labels_d = jax.device_put(jnp.asarray(make_view_stacks(store.labels)))
         sampler = sample_batch_fused if cfg.pallas_sampler else sample_batch_vt
     else:
         from pmpu_tpu.data.sampler import sample_batch as sampler
 
+        index = build_index_map(store.labels, filter=True)
         images_d = jax.device_put(jnp.asarray(store.images))
         labels_d = jax.device_put(jnp.asarray(store.labels))
+    train_idx, val_idx = split_indices(len(index), cfg.val / 100.0, rng)
 
     # gradient accumulation: acc_steps=4 iff batch>4 (train.py:45-48)
     acc_steps = 4 if cfg.batchsize > 4 else 1

@@ -1,0 +1,87 @@
+"""k-view oblique training path: sampler parity at standard axes, nonempty
+table vs exact table, end-to-end 6-view training smoke."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pmpu_tpu.config import Config
+from pmpu_tpu.data.index_map import build_index_map_from_table, nonempty_table
+from pmpu_tpu.data.sampler import (
+    fibonacci_views,
+    make_oblique_sampler,
+    oblique_nonempty_table,
+    sample_batch,
+    view_basis,
+)
+from tests.test_train import make_synthetic_store
+
+RNG = np.random.default_rng(71)
+
+
+def test_oblique_sampler_matches_plain_at_standard_axes():
+    store = make_synthetic_store(n=2, s=12)
+    bases = np.stack([view_basis(a) for a in np.eye(3, dtype=np.float32)])
+    sampler = make_oblique_sampler(bases)
+    triples = jnp.asarray(
+        np.array([[0, 0, 3], [1, 1, 5], [0, 2, 7], [1, 0, 0], [0, 1, 11]], np.int32)
+    )
+    oi, om = sampler(jnp.asarray(store.images), jnp.asarray(store.labels), triples)
+    pi, pm = sample_batch(jnp.asarray(store.images), jnp.asarray(store.labels), triples)
+    # same plane content (the oblique grid may be a fixed in-plane
+    # transpose/flip of the axis-aligned one — compare as multisets and
+    # check img/mask alignment)
+    for r in range(triples.shape[0]):
+        np.testing.assert_allclose(
+            np.sort(np.asarray(oi[r]).ravel()), np.sort(np.asarray(pi[r]).ravel()), rtol=1e-5
+        )
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(om[r]).ravel()), np.sort(np.asarray(pm[r]).ravel())
+        )
+
+
+def test_oblique_sampler_mask_alignment():
+    # image equals mask → they must stay aligned through the oblique sampler
+    s = 10
+    lbl = RNG.integers(0, 3, size=(1, s, s, s)).astype(np.int32)
+    img = lbl.astype(np.float32)
+    bases = np.stack([view_basis(a) for a in fibonacci_views(6)])
+    sampler = make_oblique_sampler(bases)
+    triples = jnp.asarray(np.array([[0, v, s // 2] for v in range(6)], np.int32))
+    oi, om = sampler(jnp.asarray(img), jnp.asarray(lbl), triples)
+    # image is max-normalized; rescale back and compare to nearest-mask —
+    # they differ only where trilinear crosses label boundaries
+    for r in range(6):
+        a = np.asarray(oi[r, ..., 0]) * max(np.asarray(oi[r]).max(), 1)
+        b = np.asarray(om[r, ..., 0])
+        frac_mismatch = np.mean(np.abs(a * 2 - b) > 0.5)
+        assert frac_mismatch < 0.5  # loose: interpolation vs nearest
+
+
+def test_oblique_nonempty_table_standard_axes_matches_exact():
+    store = make_synthetic_store(n=2, s=12)
+    bases = np.stack([view_basis(a) for a in np.eye(3, dtype=np.float32)])
+    got = oblique_nonempty_table(store.labels, bases)
+    want = nonempty_table(store.labels)
+    # nearest-sampled planes at integer offsets == exact table
+    np.testing.assert_array_equal(got, want)
+
+
+def test_index_map_from_table():
+    table = np.zeros((1, 6, 4), dtype=bool)
+    table[0, 2, 1] = True
+    table[0, 5, 3] = True
+    got = build_index_map_from_table(table)
+    np.testing.assert_array_equal(got, [[0, 2, 1], [0, 5, 3]])
+
+
+def test_six_view_training_smoke():
+    from pmpu_tpu.train.loop import train_net
+
+    store = make_synthetic_store(n=2, s=16)
+    cfg = Config(
+        net="unet", n_classes=3, epochs=1, batchsize=4, lr=0.05,
+        num_filters=(4, 8), num_views=6, save_cp=False, seed=0,
+    )
+    state, task, history = train_net(cfg, store)
+    assert np.isfinite(history["train_loss"]).all()
