@@ -28,9 +28,68 @@ SAMPLES = int(os.environ.get("BENCH_SAMPLES", "5"))
 EVAL_BATCH = int(os.environ.get("BENCH_EVAL_BATCH", "96"))
 REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 BF16 = os.environ.get("BENCH_BF16", "1") == "1"
+MODE = os.environ.get("BENCH_MODE", "infer")  # infer | train
+
+
+def bench_train():
+    """Secondary metric: train slices/sec/chip (BASELINE.md) — flagship
+    probunet, batch 32 slices/step, bf16 compute, remat off."""
+    import jax
+    import jax.numpy as jnp
+
+    from pmpu_tpu.data.index_map import build_index_map
+    from pmpu_tpu.data.volumes import make_view_stacks
+    from pmpu_tpu.data.sampler import sample_batch_vt
+    from pmpu_tpu.train.steps import create_train_state, make_optimizer, make_train_step
+    from pmpu_tpu.train.tasks import make_task
+
+    s = CUBE
+    batch = int(os.environ.get("BENCH_TRAIN_BATCH", "32"))
+    rng = np.random.default_rng(0)
+    imgs = rng.random((2, s, s, s)).astype(np.float32)
+    lbls = rng.integers(0, 3, size=(2, s, s, s)).astype(np.int32)
+    vt_i = jax.device_put(jnp.asarray(make_view_stacks(imgs)))
+    vt_l = jax.device_put(jnp.asarray(make_view_stacks(lbls)))
+    index = build_index_map(lbls, filter=False)
+
+    task = make_task("probunet", dtype=jnp.bfloat16 if BF16 else None)
+    tx = make_optimizer()
+    state = create_train_state(
+        task, jax.random.key(0),
+        jnp.zeros((batch, s, s, 1), jnp.float32),
+        jnp.zeros((batch, s, s, 1), jnp.int32),
+        tx,
+    )
+    step = make_train_step(task, tx, acc_steps=1, sampler=sample_batch_vt)
+
+    sel = np.arange(batch) % len(index)
+    triples = jnp.asarray(index[sel])
+    state, m = step(state, vt_i, vt_l, triples, jax.random.key(1), 1e-4)
+    jax.block_until_ready(m["loss"])  # compile + warmup
+
+    times = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        state, m = step(state, vt_i, vt_l, triples, jax.random.fold_in(jax.random.key(2), i), 1e-4)
+        jax.block_until_ready(m["loss"])
+        times.append(time.perf_counter() - t0)
+    sec = float(np.median(times))
+    print(
+        json.dumps(
+            {
+                "metric": f"train slices/sec/chip ({s}^2 slices, probunet, batch {batch}, bf16={BF16})",
+                "value": round(batch / sec, 2),
+                "unit": "slices/s",
+                "vs_baseline": None,
+            }
+        )
+    )
+    return 0
 
 
 def main():
+    if MODE == "train":
+        return bench_train()
     import jax
     import jax.numpy as jnp
 

@@ -55,6 +55,7 @@ class Config:
     profile_dir: Optional[str] = None  # capture a jax.profiler trace here
     nan_checks: bool = False  # jax_debug_nans
     augment: bool = False  # on-device augmentation (flips/rot90/intensity)
+    remat: bool = False  # jax.checkpoint the forward (memory for FLOPs)
     elastic_alpha: float = 0.0  # elastic deformation magnitude (pixels)
 
     def resolved_n_classes(self) -> int:
@@ -127,6 +128,7 @@ def _add_extension_args(p: argparse.ArgumentParser):
     g.add_argument("--profile-dir", dest="profile_dir", type=str, default=None)
     g.add_argument("--nan-checks", dest="nan_checks", action="store_true")
     g.add_argument("--augment", dest="augment", action="store_true")
+    g.add_argument("--remat", dest="remat", action="store_true")
     g.add_argument("--elastic-alpha", dest="elastic_alpha", type=float, default=0.0)
 
 

@@ -15,11 +15,15 @@ All blocks are rank-3 ``(1, S, S)`` — the best-supported Mosaic window
 shape. Equivalent XLA fallback: ``pmpu_tpu.data.sampler.sample_batch_vt``
 (used on CPU and as the oracle in tests).
 
-NOTE hardware status: interpret-mode verified; compiled-mode validation on
-the one tunneled TPU chip in this environment crashes the tunnel, so the
-kernel is opt-in (``--pallas-sampler`` / PMPU_ALLOW_PALLAS=1) and the XLA
-path is the production default until it can be validated on directly
-attached hardware.
+Hardware status (TPU v5e, measured): the kernel compiles and is
+bit-identical to the XLA path. It is NOT the default because XLA's fused
+dynamic-slice gather on the same pre-transposed layout already runs at HBM
+bandwidth and wins (B=64 slices of 128²: XLA 0.028 ms vs Pallas 2.0 ms —
+the one-plane-per-grid-step pipeline can't amortize its step overhead for
+planes scattered at arbitrary indices). The layout transformation
+(``make_view_stacks``) is where the win is; the kernel is retained as a
+validated building block (``--pallas-sampler`` / PMPU_ALLOW_PALLAS=1) and
+for fusing additional per-slice work into the gather later.
 """
 
 from __future__ import annotations
@@ -37,7 +41,7 @@ def _kernel(flat_ref, img_ref, lbl_ref, img_out, lbl_out):
     img = img_ref[0]
     m = jnp.max(img)
     scale = jnp.where(m == 0, jnp.float32(1.0), m)
-    img_out[0] = img * pl.reciprocal(scale, approx=False)
+    img_out[0] = img / scale
     lbl_out[0] = lbl_ref[0]
 
 

@@ -117,7 +117,9 @@ def train_net(cfg: Config, store: VolumeStore, interrupt_flag=None):
         from pmpu_tpu.data.augment import AugmentConfig
 
         aug = AugmentConfig(elastic_alpha=cfg.elastic_alpha)
-    train_step = make_train_step(task, tx, acc_steps=acc_steps, sampler=sampler, augment=aug)
+    train_step = make_train_step(
+        task, tx, acc_steps=acc_steps, sampler=sampler, augment=aug, remat=cfg.remat
+    )
     eval_step = make_eval_step(task, sampler=sampler)
 
     plateau = ReduceLROnPlateau(

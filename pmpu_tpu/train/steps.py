@@ -69,7 +69,13 @@ def create_train_state(task, key, sample_img, sample_msk, tx) -> TrainState:
 
 
 def make_train_step(
-    task, tx, acc_steps: int = 1, donate: bool = True, sampler=sample_batch, augment=None
+    task,
+    tx,
+    acc_steps: int = 1,
+    donate: bool = True,
+    sampler=sample_batch,
+    augment=None,
+    remat: bool = False,
 ):
     """Build the jitted train step.
 
@@ -87,8 +93,14 @@ def make_train_step(
     if augment is not None:
         from pmpu_tpu.data.augment import augment_batch
 
+    train_loss = task.train_loss
+    if remat:
+        # rematerialize the forward under grad: trades FLOPs for activation
+        # memory — lets much larger per-chip slice batches fit in HBM
+        train_loss = jax.checkpoint(task.train_loss, static_argnums=())
+
     def loss_and_grads(params, batch_stats, img, msk, key):
-        grad_fn = jax.value_and_grad(task.train_loss, has_aux=True)
+        grad_fn = jax.value_and_grad(train_loss, has_aux=True)
         (loss, (new_bstats, aux)), grads = grad_fn(params, batch_stats, img, msk, key)
         return loss, grads, new_bstats, aux
 
