@@ -1,0 +1,95 @@
+"""Golden-regression fixtures (pinned-seed loss sequences, SURVEY §4.2) and
+checkpoint-resume behavior of the training loop."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pmpu_tpu.config import Config
+from pmpu_tpu.data.index_map import build_index_map
+from pmpu_tpu.train.steps import create_train_state, make_optimizer, make_train_step
+from pmpu_tpu.train.tasks import make_task
+from tests.test_train import make_synthetic_store
+
+# Pinned-seed 3-step loss sequences on the synthetic fixture (CPU float32).
+# Regenerate ONLY for intentional numeric changes:
+#   tests/test_resume_golden.py::_golden_run with the same seeds.
+GOLDEN_PROBUNET = [3944.705078125, 5033.9580078125, 4208.2607421875]
+GOLDEN_UNET = [0.9387049078941345, 0.935352087020874, 0.9003265500068665]
+
+
+def _golden_run(net, lr, **task_kw):
+    store = make_synthetic_store(n=2, s=16, seed=0)
+    index = build_index_map(store.labels, filter=True)
+    task = make_task(net, num_filters=(4, 8), **task_kw)
+    tx = make_optimizer(momentum=0.9, clip=0.1, lr=lr)
+    state = create_train_state(
+        task, jax.random.key(0), jnp.zeros((1, 16, 16, 1)), jnp.zeros((1, 16, 16, 1), jnp.int32), tx
+    )
+    step = make_train_step(task, tx, acc_steps=1, donate=False)
+    imgs, lbls = jnp.asarray(store.images), jnp.asarray(store.labels)
+    losses = []
+    for i in range(3):
+        tr = jnp.asarray(index[i * 4 : (i + 1) * 4])
+        state, m = step(state, imgs, lbls, tr, jax.random.key(100 + i), lr)
+        losses.append(float(m["loss"]))
+    return losses
+
+
+def test_golden_probunet_losses():
+    got = _golden_run("probunet", 1e-4)
+    np.testing.assert_allclose(got, GOLDEN_PROBUNET, rtol=2e-3)
+
+
+def test_golden_unet_losses():
+    got = _golden_run("unet", 0.01, n_classes=3)
+    np.testing.assert_allclose(got, GOLDEN_UNET, rtol=2e-3)
+
+
+def test_loop_resume_from_checkpoint(tmp_path):
+    from pmpu_tpu.train.loop import train_net
+
+    store = make_synthetic_store(n=2, s=16)
+    base = dict(
+        net="unet", n_classes=3, epochs=1, batchsize=4, lr=0.05,
+        num_filters=(4, 8), save_cp=True, seed=0,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    _, _, h1 = train_net(Config(**base), store)
+    ck = tmp_path / "ck" / "unet_model.pt"
+    assert ck.exists()
+
+    # resumed run must start from the trained params: its first-epoch loss
+    # should be close to (not far above) the first run's final loss
+    resumed = Config(**{**base, "load": str(ck), "save_cp": False})
+    _, _, h2 = train_net(resumed, store)
+    assert h2["train_loss"][0] < h1["train_loss"][0] * 0.7, (h1, h2)
+
+
+def test_interrupt_writes_emergency_checkpoint(tmp_path, monkeypatch):
+    from pmpu_tpu.train.loop import train_net
+
+    monkeypatch.chdir(tmp_path)
+    store = make_synthetic_store(n=2, s=16)
+    calls = {"n": 0}
+
+    def interrupt_after_two_steps():
+        calls["n"] += 1
+        return calls["n"] > 2
+
+    cfg = Config(
+        net="unet", n_classes=3, epochs=1, batchsize=4, lr=0.05,
+        num_filters=(4, 8), save_cp=False, seed=0,
+    )
+    try:
+        train_net(cfg, store, interrupt_flag=interrupt_after_two_steps)
+        raised = False
+    except KeyboardInterrupt:
+        raised = True
+    assert raised
+    assert (tmp_path / "INTERRUPTED.pth").exists()
+    # emergency checkpoint must be loadable and carry the model config
+    from pmpu_tpu.train.checkpoint import load_checkpoint
+
+    payload = load_checkpoint(str(tmp_path / "INTERRUPTED.pth"))
+    assert payload["extra"]["model_config"]["net"] == "unet"
