@@ -6,6 +6,7 @@ from pmpu_tpu.ops.losses import (  # noqa: F401
     cross_entropy,
     dice_coeff,
     elbo_loss,
+    l2_regularisation,
     soft_dice_loss,
     unet_loss,
 )

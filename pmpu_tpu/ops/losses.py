@@ -26,6 +26,15 @@ from pmpu_tpu.models.distributions import DiagGaussian, kl_divergence
 DICE_SMOOTH = 1e-6
 
 
+def l2_regularisation(params) -> jax.Array:
+    """Sum of L2 norms over a parameter pytree — reference
+    ``model/probabilistic_unet/utils.py:27-36`` (the trainer keeps the term
+    available but commented out, ``probunet_trainer.py:36-37``; exposed here
+    for the same opt-in use)."""
+    leaves = jax.tree_util.tree_leaves(params)
+    return sum(jnp.linalg.norm(w.reshape(-1)) for w in leaves)
+
+
 def dice_coeff(pred: jax.Array, target: jax.Array, smooth: float = DICE_SMOOTH):
     """Global soft Dice coefficient — reference ``dice_loss.py:5-12``."""
     p = pred.reshape(-1).astype(jnp.float32)

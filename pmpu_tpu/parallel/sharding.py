@@ -70,42 +70,26 @@ def shard_state(state, shardings):
     return jax.tree_util.tree_map(lambda x, s: jax.device_put(x, s), state, shardings)
 
 
-def make_dp_train_step(task, tx, mesh: Mesh, acc_steps: int = 1, min_channels: int = 64):
-    """Data(+tensor)-parallel train step: same program as
-    ``steps.make_train_step`` jitted with explicit in/out shardings —
-    triples sharded over 'data', volumes+state replicated (or channel-
-    sharded over 'model'); XLA inserts the grad psum."""
-    import jax.numpy as jnp
-    import optax
-
+def make_dp_train_step(
+    task,
+    tx,
+    mesh: Mesh,
+    acc_steps: int = 1,
+    min_channels: int = 64,
+    sampler=None,
+    augment=None,
+    remat: bool = False,
+):
+    """Data(+tensor)-parallel train step: the exact same step body as
+    ``steps.make_train_step`` (one shared builder) jitted with explicit
+    in/out shardings — triples sharded over 'data', volumes+state replicated
+    (or channel-sharded over 'model'); XLA inserts the grad psum."""
     from pmpu_tpu.data.sampler import sample_batch
-    from pmpu_tpu.train.steps import TrainState, set_lr
+    from pmpu_tpu.train.steps import build_step_fn
 
-    def step(state, images, labels, triples, key, lr):
-        micro = triples.shape[0] // acc_steps
-        trip = triples.reshape(acc_steps, micro, 3)
-        keys = jax.random.split(key, acc_steps)
-
-        def body(carry, xs):
-            grads_acc, bstats = carry
-            tr, k = xs
-            img, msk = sample_batch(images, labels, tr)
-            grad_fn = jax.value_and_grad(task.train_loss, has_aux=True)
-            (loss, (bstats, aux)), grads = grad_fn(state.params, bstats, img, msk, k)
-            grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
-            return (grads_acc, bstats), aux
-
-        zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-        (grads, batch_stats), auxes = jax.lax.scan(body, (zero, state.batch_stats), (trip, keys))
-        grads = jax.tree_util.tree_map(lambda g: g / acc_steps, grads)
-        opt_state = set_lr(state.opt_state, lr)
-        updates, opt_state = tx.update(grads, opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        metrics = jax.tree_util.tree_map(jnp.mean, auxes)
-        return (
-            TrainState(params=params, batch_stats=batch_stats, opt_state=opt_state, step=state.step + 1),
-            metrics,
-        )
+    step = build_step_fn(
+        task, tx, acc_steps, sampler if sampler is not None else sample_batch, augment, remat
+    )
 
     def jit_for(state):
         st_sh = make_state_shardings(state, mesh, min_channels)

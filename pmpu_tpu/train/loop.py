@@ -117,9 +117,21 @@ def train_net(cfg: Config, store: VolumeStore, interrupt_flag=None):
         from pmpu_tpu.data.augment import AugmentConfig
 
         aug = AugmentConfig(elastic_alpha=cfg.elastic_alpha)
-    train_step = make_train_step(
-        task, tx, acc_steps=acc_steps, sampler=sampler, augment=aug, remat=cfg.remat
-    )
+    if cfg.data_parallel and jax.device_count() > 1:
+        # shard the triple batch over a data mesh; XLA inserts the grad psum
+        from pmpu_tpu.parallel import make_dp_train_step, make_mesh, shard_state
+
+        mesh = make_mesh()
+        jit_for = make_dp_train_step(
+            task, tx, mesh, acc_steps=acc_steps, sampler=sampler, augment=aug, remat=cfg.remat
+        )
+        train_step, st_sh = jit_for(state)
+        state = shard_state(state, st_sh)
+        log.info("data-parallel mesh: %s", dict(mesh.shape))
+    else:
+        train_step = make_train_step(
+            task, tx, acc_steps=acc_steps, sampler=sampler, augment=aug, remat=cfg.remat
+        )
     eval_step = make_eval_step(task, sampler=sampler)
 
     plateau = ReduceLROnPlateau(

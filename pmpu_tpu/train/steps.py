@@ -68,16 +68,10 @@ def create_train_state(task, key, sample_img, sample_msk, tx) -> TrainState:
     )
 
 
-def make_train_step(
-    task,
-    tx,
-    acc_steps: int = 1,
-    donate: bool = True,
-    sampler=sample_batch,
-    augment=None,
-    remat: bool = False,
-):
-    """Build the jitted train step.
+def build_step_fn(task, tx, acc_steps: int = 1, sampler=sample_batch, augment=None, remat: bool = False):
+    """The raw (unjitted) train-step function — shared by the single-device
+    jit (``make_train_step``) and the sharded jit
+    (``pmpu_tpu.parallel.sharding.make_dp_train_step``).
 
     signature: step(state, images, labels, triples, key, lr) → (state, metrics)
 
@@ -89,14 +83,13 @@ def make_train_step(
       ``loss/acc_steps`` summed over ``acc_steps`` backwards (train.py:95-110)
     * augment: optional AugmentConfig — on-device augmentation applied to
       each microbatch inside the same XLA program
+    * remat: jax.checkpoint the forward (activation memory for FLOPs)
     """
     if augment is not None:
         from pmpu_tpu.data.augment import augment_batch
 
     train_loss = task.train_loss
     if remat:
-        # rematerialize the forward under grad: trades FLOPs for activation
-        # memory — lets much larger per-chip slice batches fit in HBM
         train_loss = jax.checkpoint(task.train_loss, static_argnums=())
 
     def loss_and_grads(params, batch_stats, img, msk, key):
@@ -137,6 +130,20 @@ def make_train_step(
         )
         return new_state, metrics
 
+    return step
+
+
+def make_train_step(
+    task,
+    tx,
+    acc_steps: int = 1,
+    donate: bool = True,
+    sampler=sample_batch,
+    augment=None,
+    remat: bool = False,
+):
+    """Jit ``build_step_fn`` for single-device (or pjit-implicit) execution."""
+    step = build_step_fn(task, tx, acc_steps, sampler, augment, remat)
     donate_argnums = (0,) if donate else ()
     return jax.jit(step, donate_argnums=donate_argnums)
 

@@ -152,3 +152,12 @@ def test_volume_per_class_dice(ci):
     m2 = (truth == ci).astype(np.float64)
     want = (2 * (m1 * m2).sum() + 1e-6) / (m1.sum() + m2.sum() + 1e-6)
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5)
+
+
+def test_l2_regularisation_matches_torch():
+    # reference utils.py:27-36: sum of per-tensor L2 norms
+    params = {"a": RNG.normal(size=(3, 3, 2, 4)).astype(np.float32),
+              "b": {"c": RNG.normal(size=(8,)).astype(np.float32)}}
+    got = losses.l2_regularisation(jax.tree_util.tree_map(jnp.asarray, params))
+    want = (torch.from_numpy(params["a"]).norm(2) + torch.from_numpy(params["b"]["c"]).norm(2)).item()
+    np.testing.assert_allclose(float(got), want, rtol=1e-5)
