@@ -15,7 +15,6 @@ import logging
 import os
 import sys
 
-import numpy as np
 
 from pmpu_tpu.config import add_eval_args, config_from_args
 from pmpu_tpu.data.volumes import VolumeStore
