@@ -119,21 +119,28 @@ class VolumeEvaluator:
     def _predict_volume(self, variables, vol, key):
         """(S,S,S) image volume → per-view prob volumes + fused (S,S,S,C)."""
         if self.num_views == 3:
-            slabs = normalize_slabs(view_slabs(vol))
-            logits = self._chunked_logits(variables, slabs, key)
+            with jax.named_scope("slice_slabs"):
+                slabs = normalize_slabs(view_slabs(vol))
+            with jax.named_scope("model"):
+                logits = self._chunked_logits(variables, slabs, key)
             probs = jax.nn.softmax(logits, axis=-1)  # eval.py:157
-            views = reassemble_views(probs)
+            with jax.named_scope("reassemble"):
+                views = reassemble_views(probs)
         else:
-            view_stacks = [oblique_slabs(vol, b) for b in self._bases]
-            slabs = normalize_slabs(jnp.concatenate(view_stacks, axis=0))
-            logits = self._chunked_logits(variables, slabs, key)
+            with jax.named_scope("oblique_slabs"):
+                view_stacks = [oblique_slabs(vol, b) for b in self._bases]
+                slabs = normalize_slabs(jnp.concatenate(view_stacks, axis=0))
+            with jax.named_scope("model"):
+                logits = self._chunked_logits(variables, slabs, key)
             probs = jax.nn.softmax(logits, axis=-1)
             s = vol.shape[0]
-            views = [
-                resample_view_to_grid(probs[i * s : (i + 1) * s], self._bases[i])
-                for i in range(self.num_views)
-            ]
-        fused = fuse_mean(list(views))
+            with jax.named_scope("splat_back"):
+                views = [
+                    resample_view_to_grid(probs[i * s : (i + 1) * s], self._bases[i])
+                    for i in range(self.num_views)
+                ]
+        with jax.named_scope("fuse"):
+            fused = fuse_mean(list(views))
         return tuple(views) + (fused,)
 
     def _dice_report(self, volumes, truth):
@@ -148,17 +155,22 @@ class VolumeEvaluator:
         return jnp.stack(rows)  # (num_views+1, n_classes-1)
 
     # ------------------------------------------------------------------
-    def evaluate_volume(self, variables, img_vol, truth_vol=None, key=None):
+    def evaluate_volume(
+        self, variables, img_vol, truth_vol=None, key=None, return_views: bool = True
+    ):
         """Run one volume. Returns dict with 'fused' probs (device array),
-        'argmax' (host uint8), and 'dice' (num_views+1, C-1) if truth given."""
+        'argmax' (host float32, reference NIfTI export dtype), 'dice'
+        (num_views+1, C-1) if truth given, and per-view prob volumes when
+        ``return_views`` (drop for large volumes to release HBM early)."""
         key = key if key is not None else jax.random.key(0)
         outs = self._predict(variables, jnp.asarray(img_vol), key)
         fused = outs[-1]
         result = {
-            "views": outs[:-1],
             "fused": fused,
             "argmax": np.asarray(jnp.argmax(fused, axis=-1)).astype(np.float32),
         }
+        if return_views:
+            result["views"] = outs[:-1]
         if truth_vol is not None:
             result["dice"] = np.asarray(self._report(outs, jnp.asarray(truth_vol)))
         return result
@@ -176,6 +188,7 @@ class VolumeEvaluator:
                 store.images[i],
                 store.labels[i],
                 jax.random.fold_in(key, i),
+                return_views=False,
             )
             d = res["dice"]
             for v in range(self.num_views):
