@@ -289,7 +289,12 @@ def import_torch_state_dict(sd: dict, model_name: str, num_filters=(64, 128, 256
     (our ``transpose_kernel=True`` layout); BN affine+running stats split into
     params/batch_stats collections.
     """
-    sd = {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v) for k, v in sd.items()}
+    # copy=True: torch's .numpy() aliases tensor storage — without a copy,
+    # later in-place updates (BN running stats) would mutate imported params
+    sd = {
+        k: np.array(v.detach().cpu().numpy() if hasattr(v, "detach") else v, copy=True)
+        for k, v in sd.items()
+    }
     pairs = (
         _unet_name_pairs(num_filters)
         if model_name == "unet"
