@@ -178,14 +178,21 @@ class VolumeEvaluator:
     def evaluate_store(self, variables, store, key=None, save_dir: Optional[str] = None):
         """Evaluate every volume in a VolumeStore; returns the reference's
         report structure: per-view and fused per-class dice arrays
-        (mean±std printed by the CLI — ``eval.py:218-233``)."""
+        (mean±std printed by the CLI — ``eval.py:218-233``).
+
+        Host↔device overlap: the next volume is uploaded asynchronously
+        before blocking on the current volume's results (jax dispatch is
+        async; only the host-side dice/argmax fetches synchronize)."""
         key = key if key is not None else jax.random.key(0)
+        uploads = {0: jax.device_put(jnp.asarray(store.images[0]))} if len(store) else {}
         per_view = [[] for _ in range(self.num_views)]
         fused_dice = []
         for i in range(len(store)):
+            if i + 1 < len(store):  # enqueue next upload before blocking
+                uploads[i + 1] = jax.device_put(jnp.asarray(store.images[i + 1]))
             res = self.evaluate_volume(
                 variables,
-                store.images[i],
+                uploads.pop(i),
                 store.labels[i],
                 jax.random.fold_in(key, i),
                 return_views=False,
