@@ -9,6 +9,8 @@ over N prior samples — all decodes batched through fcomb in one device call
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -32,6 +34,11 @@ def latent_grid(mu: np.ndarray, sigma: np.ndarray, n_preds: int = 3, scale: floa
     return np.stack(zs).astype(np.float32)  # (n_preds², latent)
 
 
+@functools.partial(jax.jit, static_argnums=0)
+def _decode_all(net, variables, feats, zs):
+    return net.apply(variables, feats, zs, method=ProbabilisticUNet.decode)
+
+
 def sample_grid(task, variables, img_slice, n_preds: int = 3, sigma_scale: float = 40.0):
     """Decode the latent grid for one (H,W) or (1,H,W,1) image slice.
 
@@ -46,13 +53,24 @@ def sample_grid(task, variables, img_slice, n_preds: int = 3, sigma_scale: float
     zs = jnp.asarray(latent_grid(mu, sigma, n_preds, sigma_scale))  # (n²,L)
 
     feats = jnp.broadcast_to(out.unet_features, (zs.shape[0],) + out.unet_features.shape[1:])
-
-    @jax.jit
-    def decode_all(variables, feats, zs):
-        return net.apply(variables, feats, zs, method=ProbabilisticUNet.decode)
-
-    grid = decode_all(variables, feats, zs)
+    grid = _decode_all(net, variables, feats, zs)
     return np.asarray(grid), mu, sigma
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _uncertainty(net, n_samples, variables, x, key):
+    out = net.apply(variables, x, train=False)
+    eps = jax.random.normal(key, (n_samples,) + out.prior.loc.shape)
+    zs = out.prior.loc[None] + out.prior.scale[None] * eps
+
+    def decode(z):
+        return net.apply(variables, out.unet_features, z, method=ProbabilisticUNet.decode)
+
+    probs = jax.nn.softmax(jax.vmap(decode)(zs), axis=-1)  # (N,1,H,W,C)
+    mean_p = jnp.mean(probs, axis=0)
+    entropy = -jnp.sum(mean_p * jnp.log(mean_p + 1e-12), axis=-1)
+    var = jnp.mean(jnp.var(probs, axis=0), axis=-1)
+    return mean_p, entropy, var
 
 
 def uncertainty_maps(task, variables, img_slice, n_samples: int = 16, key=None):
@@ -64,20 +82,5 @@ def uncertainty_maps(task, variables, img_slice, n_samples: int = 16, key=None):
     if x.ndim == 2:
         x = x[None, ..., None]
 
-    @jax.jit
-    def run(variables, x, key):
-        out = net.apply(variables, x, train=False)
-        eps = jax.random.normal(key, (n_samples,) + out.prior.loc.shape)
-        zs = out.prior.loc[None] + out.prior.scale[None] * eps
-
-        def decode(z):
-            return net.apply(variables, out.unet_features, z, method=ProbabilisticUNet.decode)
-
-        probs = jax.nn.softmax(jax.vmap(decode)(zs), axis=-1)  # (N,1,H,W,C)
-        mean_p = jnp.mean(probs, axis=0)
-        entropy = -jnp.sum(mean_p * jnp.log(mean_p + 1e-12), axis=-1)
-        var = jnp.mean(jnp.var(probs, axis=0), axis=-1)
-        return mean_p, entropy, var
-
-    mean_p, entropy, var = run(variables, x, key)
+    mean_p, entropy, var = _uncertainty(net, n_samples, variables, x, key)
     return np.asarray(mean_p[0]), np.asarray(entropy[0]), np.asarray(var[0])

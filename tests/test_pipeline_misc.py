@@ -114,3 +114,19 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert meta["plateau"]["lr"] == 0.5
     assert meta["extra"]["a"] == 1
+
+
+def test_metric_writer_history_and_schema(tmp_path):
+    from pmpu_tpu.utils.tblog import MetricWriter
+
+    w = MetricWriter(logdir=str(tmp_path / "tb"))
+    w.scalar("Loss/train", 1.5, 0)
+    w.scalar("Loss/train", 1.2, 1)
+    w.scalar("dice/class_1", 0.8, 1)
+    w.images("images", np.zeros((2, 8, 8, 1), np.float32), 1)
+    w.close()
+    assert w.history["Loss/train"] == [(0, 1.5), (1, 1.2)]
+    assert w.history["dice/class_1"] == [(1, 0.8)]
+    import os
+
+    assert any(os.scandir(tmp_path / "tb"))  # event file written
