@@ -29,6 +29,9 @@ EVAL_BATCH = int(os.environ.get("BENCH_EVAL_BATCH", "96"))
 REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 BF16 = os.environ.get("BENCH_BF16", "1") == "1"
 MODE = os.environ.get("BENCH_MODE", "infer")  # infer | train
+FILTERS = tuple(
+    int(x) for x in os.environ.get("BENCH_FILTERS", "64,128,256,512,1024").split(",")
+)
 
 
 def bench_train():
@@ -52,7 +55,7 @@ def bench_train():
     vt_l = jax.device_put(jnp.asarray(make_view_stacks(lbls)))
     index = build_index_map(lbls, filter=False)
 
-    task = make_task("probunet", dtype=jnp.bfloat16 if BF16 else None)
+    task = make_task("probunet", num_filters=FILTERS, dtype=jnp.bfloat16 if BF16 else None)
     tx = make_optimizer()
     state = create_train_state(
         task, jax.random.key(0),
@@ -96,7 +99,7 @@ def main():
     from pmpu_tpu.inference.engine import VolumeEvaluator
     from pmpu_tpu.train.tasks import make_task
 
-    task = make_task("probunet", dtype=jnp.bfloat16 if BF16 else None)
+    task = make_task("probunet", num_filters=FILTERS, dtype=jnp.bfloat16 if BF16 else None)
     s = CUBE
     rng = np.random.default_rng(0)
     variables = task.init_variables(
@@ -126,7 +129,11 @@ def main():
     if os.path.exists(base_path):
         with open(base_path) as f:
             base = json.load(f)
-        if base.get("cube") == s and base.get("samples_per_slice") == SAMPLES:
+        if (
+            base.get("cube") == s
+            and base.get("samples_per_slice") == SAMPLES
+            and list(FILTERS) == base.get("num_filters")
+        ):
             vs_baseline = base["sec_per_volume_extrapolated"] / sec_per_volume
 
     print(
