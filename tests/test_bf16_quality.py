@@ -1,0 +1,35 @@
+"""bfloat16 compute safety: fused-volume Dice of a trained model in bf16
+must match f32 closely (justifies the bench's bf16 inference default)."""
+
+import jax
+import numpy as np
+import pytest
+
+from pmpu_tpu.config import Config
+from pmpu_tpu.inference.engine import VolumeEvaluator
+from pmpu_tpu.train.loop import train_net
+from pmpu_tpu.train.tasks import make_task
+from tests.test_train import make_synthetic_store
+
+
+@pytest.mark.slow
+def test_bf16_eval_dice_close_to_f32():
+    import jax.numpy as jnp
+
+    store = make_synthetic_store(n=2, s=24, seed=4)
+    cfg = Config(
+        net="unet", n_classes=3, epochs=2, batchsize=8, lr=0.05,
+        num_filters=(8, 16), save_cp=False, seed=0,
+    )
+    state, task, _ = train_net(cfg, store)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    ev32 = VolumeEvaluator(task, eval_batch=24)
+    d32 = ev32.evaluate_volume(variables, store.images[0], store.labels[0], jax.random.key(1))["dice"]
+
+    task16 = make_task("unet", n_classes=3, num_filters=(8, 16), dtype=jnp.bfloat16)
+    ev16 = VolumeEvaluator(task16, eval_batch=24)
+    d16 = ev16.evaluate_volume(variables, store.images[0], store.labels[0], jax.random.key(1))["dice"]
+
+    # within 0.02 Dice of f32 on every view + fused (BASELINE tolerance is 0.5 pts)
+    np.testing.assert_allclose(d16, d32, atol=0.02)
