@@ -2,6 +2,7 @@
 full forward-pass numerical parity against a torch oracle of the reference
 architecture (drives the "bit-comparable segmentations" requirement)."""
 
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -137,3 +138,29 @@ def test_export_loads_into_torch_module():
     # only num_batches_tracked counters may be missing
     assert all("num_batches_tracked" in k for k in missing), missing
     assert not unexpected, unexpected
+
+
+def test_whole_volume_engine_matches_reference_slice_loop():
+    """Segmentation parity: same weights through the reference's bs=1 slice
+    loop (torch) and our whole-volume engine → identical argmax, prob diff
+    at float32 noise level ("bit-comparable segmentations", BASELINE.json)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from compare_with_reference import reference_eval_volume
+
+    from pmpu_tpu.inference.engine import VolumeEvaluator
+    from pmpu_tpu.train.tasks import make_task
+
+    nf = (4, 8)
+    tnet = TUNet(1, 3, nf)
+    variables = ckpt.import_torch_state_dict(tnet.state_dict(), "unet", num_filters=nf)
+    task = make_task("unet", n_classes=3, num_filters=nf)
+
+    vol = RNG.random((12, 12, 12)).astype(np.float32)
+    ref_fused = reference_eval_volume(tnet, vol)  # [X,C,Y,Z]
+    ev = VolumeEvaluator(task, eval_batch=0)
+    res = ev.evaluate_volume(variables, vol, key=jax.random.key(0))
+    ours = np.asarray(res["fused"]).transpose(0, 3, 1, 2)
+    assert np.abs(ours - ref_fused).max() < 1e-5
+    np.testing.assert_array_equal(ours.argmax(1), ref_fused.argmax(1))
