@@ -59,11 +59,18 @@ def main() -> int:
             jnp.zeros((1, s, s, 1), jnp.int32),
         )
 
+    mesh = None
+    if cfg.data_parallel and jax.device_count() > 1:
+        from pmpu_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+        logging.info("sharding slice slabs over %s", dict(mesh.shape))
     evaluator = VolumeEvaluator(
         task,
         n_samples=cfg.eval_samples if cfg.net == "probunet" else 1,
         eval_batch=cfg.eval_batch,
         num_views=cfg.num_views,
+        mesh=mesh,
     )
     os.makedirs("predictions", exist_ok=True)
     report = evaluator.evaluate_store(

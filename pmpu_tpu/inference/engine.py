@@ -175,6 +175,26 @@ class VolumeEvaluator:
             result["dice"] = np.asarray(self._report(outs, jnp.asarray(truth_vol)))
         return result
 
+    def evaluate_volumes_batched(self, variables, img_vols, truth_vols=None, key=None):
+        """Throughput path: vmap the whole-volume pipeline over a batch of
+        volumes (one XLA program, V× the activation memory). Returns fused
+        prob volumes (V,S,S,S,C) and dice (V, num_views+1, C-1) if truths
+        are given. Matches per-volume evaluation exactly (tested)."""
+        key = key if key is not None else jax.random.key(0)
+        vols = jnp.asarray(img_vols)
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(vols.shape[0]))
+
+        if not hasattr(self, "_predict_batched"):
+            self._predict_batched = jax.jit(
+                jax.vmap(self._predict_volume, in_axes=(None, 0, 0))
+            )
+            self._report_batched = jax.jit(jax.vmap(self._dice_report, in_axes=(0, 0)))
+        outs = self._predict_batched(variables, vols, keys)
+        result = {"fused": outs[-1]}
+        if truth_vols is not None:
+            result["dice"] = np.asarray(self._report_batched(outs, jnp.asarray(truth_vols)))
+        return result
+
     def evaluate_store(self, variables, store, key=None, save_dir: Optional[str] = None):
         """Evaluate every volume in a VolumeStore; returns the reference's
         report structure: per-view and fused per-class dice arrays

@@ -142,3 +142,22 @@ def test_oblique_evaluator_six_views():
     res = ev.evaluate_volume(variables, vol, truth, key=jax.random.key(3))
     assert res["dice"].shape == (7, 2)
     assert np.isfinite(res["dice"]).all()
+
+
+def test_batched_volume_eval_matches_per_volume():
+    task = make_task("unet", n_classes=3, num_filters=(4, 8))
+    vols = RNG.random((2, 12, 12, 12)).astype(np.float32)
+    truths = RNG.integers(0, 3, size=(2, 12, 12, 12)).astype(np.int32)
+    variables = task.init_variables(
+        jax.random.key(0), jnp.zeros((1, 12, 12, 1)), jnp.zeros((1, 12, 12, 1), jnp.int32)
+    )
+    ev = VolumeEvaluator(task, eval_batch=0)
+    batched = ev.evaluate_volumes_batched(variables, vols, truths, key=jax.random.key(7))
+    for i in range(2):
+        single = ev.evaluate_volume(
+            variables, vols[i], truths[i], key=jax.random.fold_in(jax.random.key(7), i)
+        )
+        np.testing.assert_allclose(
+            np.asarray(batched["fused"][i]), np.asarray(single["fused"]), rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(batched["dice"][i], single["dice"], rtol=1e-4)

@@ -35,6 +35,11 @@ def main() -> int:
 
     import jax
 
+    from pmpu_tpu.parallel import multihost_init
+
+    proc, nproc = multihost_init()  # no-op single-host; DCN init multi-host
+    if nproc > 1:
+        logging.info("multi-host: process %d/%d", proc, nproc)
     logging.info("Using devices %s", jax.devices())
     store = VolumeStore.from_dirs(dir_img, dir_mask)
     logging.info(
