@@ -68,15 +68,19 @@ def bench_train():
     sel = np.arange(batch) % len(index)
     triples = jnp.asarray(index[sel])
     state, m = step(state, vt_i, vt_l, triples, jax.random.key(1), 1e-4)
-    jax.block_until_ready(m["loss"])  # compile + warmup
 
-    times = []
-    for i in range(5):
-        t0 = time.perf_counter()
+    def fetch(st):
+        # host round-trip of a param element: unambiguous completion sync
+        # (block_until_ready acks early through the tunneled backend)
+        return float(np.asarray(jax.tree_util.tree_leaves(st.params)[0]).ravel()[0])
+
+    fetch(state)  # compile + warmup
+    n_steps = 10
+    t0 = time.perf_counter()
+    for i in range(n_steps):
         state, m = step(state, vt_i, vt_l, triples, jax.random.fold_in(jax.random.key(2), i), 1e-4)
-        jax.block_until_ready(m["loss"])
-        times.append(time.perf_counter() - t0)
-    sec = float(np.median(times))
+    fetch(state)
+    sec = (time.perf_counter() - t0) / n_steps
     print(
         json.dumps(
             {
