@@ -1,0 +1,5 @@
+#!/bin/bash
+cd /root/repo
+BENCH_EVAL_BATCH=192 BENCH_REPEATS=2 python bench.py 2>/dev/null
+BENCH_EVAL_BATCH=384 BENCH_REPEATS=2 python bench.py 2>/dev/null
+BENCH_EVAL_BATCH=64 BENCH_REPEATS=2 python bench.py 2>/dev/null

@@ -77,6 +77,23 @@ def main() -> int:
         variables, store, key=jax.random.key(cfg.seed), save_dir="predictions"
     )
 
+    if cfg.save_uncertainty:
+        # per-voxel predictive entropy of the fused class probabilities
+        import numpy as np
+
+        from pmpu_tpu.data import nifti
+
+        os.makedirs(cfg.save_uncertainty, exist_ok=True)
+        for i in range(len(store)):
+            res = evaluator.evaluate_volume(
+                variables, store.images[i], key=jax.random.fold_in(jax.random.key(cfg.seed), i),
+                return_views=False,
+            )
+            fused = np.asarray(res["fused"])
+            entropy = -np.sum(fused * np.log(fused + 1e-12), axis=-1)
+            nifti.save(os.path.join(cfg.save_uncertainty, store.ids[i]), entropy.astype(np.float32))
+        logging.info("wrote uncertainty maps to %s", cfg.save_uncertainty)
+
     for v, arr in enumerate(report["per_view"]):
         print(f"view {v + 1} dice: mean={arr.mean(axis=0)}, std={arr.std(axis=0)}")
     fused = report["fused"]

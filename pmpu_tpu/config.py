@@ -56,6 +56,9 @@ class Config:
     nan_checks: bool = False  # jax_debug_nans
     augment: bool = False  # on-device augmentation (flips/rot90/intensity)
     remat: bool = False  # jax.checkpoint the forward (memory for FLOPs)
+    train_views: Optional[Sequence[int]] = None  # e.g. (0,) = axial-only training
+    loss: str = "auto"  # auto (reference CE/BCE) | dice | ce+dice (unet only)
+    save_uncertainty: Optional[str] = None  # eval: dump fused entropy NIfTIs here
     elastic_alpha: float = 0.0  # elastic deformation magnitude (pixels)
 
     def resolved_n_classes(self) -> int:
@@ -72,6 +75,8 @@ class Config:
             num_filters=tuple(self.num_filters),
             dtype=jnp.bfloat16 if self.bf16 else None,
         )
+        if self.net == "unet" and self.loss != "auto":
+            kw["loss_type"] = self.loss
         if self.net == "probunet":
             kw.update(latent_dim=self.latent_dim, no_convs_fcomb=self.no_convs_fcomb, beta=self.beta)
         return kw
@@ -129,6 +134,14 @@ def _add_extension_args(p: argparse.ArgumentParser):
     g.add_argument("--nan-checks", dest="nan_checks", action="store_true")
     g.add_argument("--augment", dest="augment", action="store_true")
     g.add_argument("--remat", dest="remat", action="store_true")
+    g.add_argument(
+        "--train-views", dest="train_views",
+        type=lambda v: tuple(int(x) for x in v.split(",")), default=None,
+        help="restrict training to these view indices (e.g. 0 = axial only)",
+    )
+    g.add_argument("--loss", dest="loss", type=str, default="auto",
+                   choices=["auto", "dice", "ce+dice"])
+    g.add_argument("--save-uncertainty", dest="save_uncertainty", type=str, default=None)
     g.add_argument("--elastic-alpha", dest="elastic_alpha", type=float, default=0.0)
 
 

@@ -93,6 +93,11 @@ def train_net(cfg: Config, store: VolumeStore, interrupt_flag=None):
         index = build_index_map(store.labels, filter=True)
         images_d = jax.device_put(jnp.asarray(store.images))
         labels_d = jax.device_put(jnp.asarray(store.labels))
+    if cfg.train_views is not None:
+        # single/subset-plane training (BASELINE configs 1-2: e.g. axial only)
+        keep = np.isin(index[:, 1], np.asarray(cfg.train_views))
+        index = index[keep]
+        log.info("restricted to views %s: %d slices", cfg.train_views, len(index))
     train_idx, val_idx = split_indices(len(index), cfg.val / 100.0, rng)
 
     # gradient accumulation: acc_steps=4 iff batch>4 (train.py:45-48)

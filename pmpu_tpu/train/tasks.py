@@ -39,8 +39,10 @@ class UNetTask:
         n_classes: int = 1,
         num_filters: Sequence[int] = (64, 128, 256, 512, 1024),
         dtype: Any = None,
+        loss_type: str = "auto",
     ):
         self.n_classes = n_classes
+        self.loss_type = loss_type  # auto (reference CE/BCE) | dice | ce+dice
         self.net = UNet(
             n_channels=n_channels,
             n_classes=n_classes,
@@ -51,6 +53,25 @@ class UNetTask:
     def init_variables(self, key, img, msk):
         return self.net.init(key, img, train=False)
 
+    def _loss(self, preds, msk):
+        base = losses.unet_loss(preds, msk, self.n_classes)
+        if self.loss_type == "auto":
+            return base
+        # soft-Dice objective over foreground classes (BASELINE config 1)
+        import jax.numpy as jnp
+
+        m = msk[..., 0] if msk.ndim == 4 else msk
+        if self.n_classes == 1:
+            dice = losses.soft_dice_loss(preds[..., 0], m.astype(preds.dtype))
+        else:
+            probs = jax.nn.softmax(preds, axis=-1)
+            per_class = [
+                losses.soft_dice_loss(probs[..., c], (m == c).astype(probs.dtype))
+                for c in range(1, self.n_classes)
+            ]
+            dice = sum(per_class) / len(per_class)
+        return dice if self.loss_type == "dice" else base + dice
+
     def train_loss(self, params, batch_stats, img, msk, key):
         preds, mut = self.net.apply(
             {"params": params, "batch_stats": batch_stats},
@@ -58,7 +79,7 @@ class UNetTask:
             train=True,
             mutable=["batch_stats"],
         )
-        loss = losses.unet_loss(preds, msk, self.n_classes)
+        loss = self._loss(preds, msk)
         return loss, (mut["batch_stats"], {"loss": loss})
 
     def predict(self, variables, img, msk=None, key=None, *, train: bool = False):
@@ -68,7 +89,7 @@ class UNetTask:
 
     def val_loss(self, variables, img, msk, key=None):
         preds = self.net.apply(variables, img, train=False)
-        return losses.unet_loss(preds, msk, self.n_classes), preds
+        return self._loss(preds, msk), preds
 
 
 class ProbUNetTask:
