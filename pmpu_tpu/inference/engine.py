@@ -48,7 +48,9 @@ class VolumeEvaluator:
       task: UNetTask | ProbUNetTask (``pmpu_tpu.train.tasks``)
       n_samples: prior samples per slice for the probabilistic model
                  (reference uses 5, ``eval.py:148``)
-      eval_batch: slices per model invocation (0 → all 3S at once)
+      eval_batch: slices per model invocation; 0 → auto (activation-memory
+                  heuristic, ~192 slices at 128² scaled by slice area);
+                  -1 → the whole 3S slab in one invocation
       num_views: 3 → exact reference multi-planar path; else isotropic oblique
     """
 
@@ -102,7 +104,15 @@ class VolumeEvaluator:
                 slabs, NamedSharding(self.mesh, P("data"))
             )
         total = slabs.shape[0]
-        b = self.eval_batch if self.eval_batch else total
+        if self.eval_batch == 0:
+            # auto: ~192 slices at 128² (measured optimum on v5e: 0.64 s/vol
+            # vs 1.5 s at 96 and 1.95 s whole-slab), scaled by slice area
+            s2 = slabs.shape[1] * slabs.shape[2]
+            b = min(total, max(32, (192 * 128 * 128) // max(s2, 1)))
+        elif self.eval_batch < 0:
+            b = total
+        else:
+            b = self.eval_batch
         nchunk = -(-total // b)
         pad = nchunk * b - total
         x = jnp.pad(slabs, ((0, pad), (0, 0), (0, 0)))[..., None]
