@@ -126,6 +126,15 @@ class VolumeEvaluator:
         c = logits.shape[-1]
         return logits.reshape(nchunk * b, *slabs.shape[1:], c)[:total]
 
+    def _to_probs(self, outputs):
+        """Multi-class: softmax over logits (eval.py:157). Binary UNet: the
+        model already applies sigmoid (unet_model.py:48-49); expand to a
+        [bg, fg] 2-class volume so fusion/argmax/dice work uniformly."""
+        if self.task.n_classes == 1:
+            p = outputs  # sigmoid probs, channel dim 1
+            return jnp.concatenate([1.0 - p, p], axis=-1)
+        return jax.nn.softmax(outputs, axis=-1)
+
     def _predict_volume(self, variables, vol, key):
         """(S,S,S) image volume → per-view prob volumes + fused (S,S,S,C)."""
         if self.num_views == 3:
@@ -133,7 +142,7 @@ class VolumeEvaluator:
                 slabs = normalize_slabs(view_slabs(vol))
             with jax.named_scope("model"):
                 logits = self._chunked_logits(variables, slabs, key)
-            probs = jax.nn.softmax(logits, axis=-1)  # eval.py:157
+            probs = self._to_probs(logits)  # eval.py:157
             with jax.named_scope("reassemble"):
                 views = reassemble_views(probs)
         else:
@@ -142,7 +151,7 @@ class VolumeEvaluator:
                 slabs = normalize_slabs(jnp.concatenate(view_stacks, axis=0))
             with jax.named_scope("model"):
                 logits = self._chunked_logits(variables, slabs, key)
-            probs = jax.nn.softmax(logits, axis=-1)
+            probs = self._to_probs(logits)
             s = vol.shape[0]
             with jax.named_scope("splat_back"):
                 views = [

@@ -161,3 +161,20 @@ def test_batched_volume_eval_matches_per_volume():
             np.asarray(batched["fused"][i]), np.asarray(single["fused"]), rtol=1e-5, atol=1e-6
         )
         np.testing.assert_allclose(batched["dice"][i], single["dice"], rtol=1e-4)
+
+
+def test_binary_unet_volume_eval():
+    """1-class (sigmoid) model: engine expands to [bg, fg] so fused argmax
+    and class-1 dice are meaningful."""
+    task = make_task("unet", n_classes=1, num_filters=(4, 8))
+    vol = RNG.random((12, 12, 12)).astype(np.float32)
+    truth = (RNG.random((12, 12, 12)) > 0.7).astype(np.int32)
+    variables = task.init_variables(
+        jax.random.key(0), jnp.zeros((1, 12, 12, 1)), jnp.zeros((1, 12, 12, 1), jnp.int32)
+    )
+    ev = VolumeEvaluator(task, eval_batch=12)
+    res = ev.evaluate_volume(variables, vol, truth, key=jax.random.key(1))
+    assert res["fused"].shape == (12, 12, 12, 2)
+    assert res["dice"].shape == (4, 1)
+    assert np.isfinite(res["dice"]).all()
+    assert set(np.unique(res["argmax"])) <= {0.0, 1.0}
