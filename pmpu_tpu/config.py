@@ -46,6 +46,7 @@ class Config:
     checkpoint_dir: str = "checkpoints"
     logdir: Optional[str] = None
     save_cp: bool = True
+    checkpoint_every: int = 1  # epochs between checkpoints (reference: 1)
     num_views: int = 3  # 3 = reference standard axes; >3 = isotropic oblique
     eval_samples: int = 5  # prior samples per slice for probunet eval (eval.py:148)
     eval_batch: int = 0  # slices per model invocation at eval; 0 = whole view
@@ -142,6 +143,8 @@ def _add_extension_args(p: argparse.ArgumentParser):
     g.add_argument("--loss", dest="loss", type=str, default="auto",
                    choices=["auto", "dice", "ce+dice"])
     g.add_argument("--save-uncertainty", dest="save_uncertainty", type=str, default=None)
+    g.add_argument("--checkpoint-every", dest="checkpoint_every", type=int, default=1,
+                   help="epochs between checkpoints (device->host fetch of the full state)")
     g.add_argument("--elastic-alpha", dest="elastic_alpha", type=float, default=0.0)
 
 

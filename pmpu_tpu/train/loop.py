@@ -280,9 +280,13 @@ def _run_epochs(
             history["val_loss"].append(avg_loss)
             history["val_dice"].append(avg_dice.tolist())
 
-        if cfg.save_cp:
+        if cfg.save_cp and (epoch + 1) % max(cfg.checkpoint_every, 1) == 0:
             path = os.path.join(cfg.checkpoint_dir, f"{task.name}_checkpoint{epoch}.pt")
             ckpt.save_checkpoint(path, state, plateau, key, extra={"model_config": _model_config(cfg, task)})
             log.info("Saved model %s", path)
+        log.info(
+            "epoch %d/%d done (%.2fs/step median, %.0f slices/s/chip)",
+            epoch + 1, cfg.epochs, timer.sec_per_step, timer.slices_per_sec,
+        )
 
     return state
