@@ -52,6 +52,7 @@ class NiftiHeader:
     srow: np.ndarray = field(default_factory=lambda: np.eye(4, dtype=np.float32)[:3])
     descrip: bytes = b"pmpu_tpu"
     magic: bytes = b"n+1\x00"
+    endian: str = "<"
 
     @property
     def shape(self) -> tuple:
@@ -106,6 +107,7 @@ def read_header(path) -> NiftiHeader:
     if magic not in (b"n+1\x00", b"ni1\x00"):
         raise ValueError(f"{path}: bad NIfTI magic {magic!r}")
     return NiftiHeader(
+        endian=endian,
         dim=dim,
         datatype=int(datatype),
         bitpix=int(bitpix),
@@ -128,7 +130,7 @@ def load(path, dtype=np.float32) -> np.ndarray:
     hdr = read_header(path)
     if hdr.datatype not in _DTYPES:
         raise ValueError(f"{path}: unsupported NIfTI datatype {hdr.datatype}")
-    np_dtype = np.dtype(_DTYPES[hdr.datatype])
+    np_dtype = np.dtype(_DTYPES[hdr.datatype]).newbyteorder(hdr.endian)
     shape = hdr.shape
     count = int(np.prod(shape))
     with _open(path) as f:

@@ -233,3 +233,29 @@ def test_fibonacci_views():
         assert v.shape == (k, 3)
         np.testing.assert_allclose(np.linalg.norm(v, axis=1), 1.0, rtol=1e-5)
     np.testing.assert_array_equal(fibonacci_views(3), np.eye(3, dtype=np.float32))
+
+
+def test_nifti_big_endian_data(tmp_path):
+    # build a big-endian NIfTI-1 by byteswapping a little-endian one
+    import struct
+
+    data = np.arange(24, dtype=np.int16).reshape(2, 3, 4)
+    p = tmp_path / "le.nii"
+    nifti.save(p, data)
+    raw = bytearray(p.read_bytes())
+    hdr = bytes(raw[:352])
+    # rewrite header fields big-endian
+    be = bytearray(352)
+    be[:] = hdr
+    struct.pack_into(">i", be, 0, 348)
+    struct.pack_into(">8h", be, 40, *struct.unpack("<8h", hdr[40:56]))
+    struct.pack_into(">h", be, 70, 4)   # int16
+    struct.pack_into(">h", be, 72, 16)
+    struct.pack_into(">f", be, 108, 352.0)
+    struct.pack_into(">f", be, 112, 1.0)
+    struct.pack_into(">f", be, 116, 0.0)
+    payload = np.asfortranarray(data).byteswap().tobytes(order="F")
+    pb = tmp_path / "be.nii"
+    pb.write_bytes(bytes(be) + payload)
+    out = nifti.load(pb)
+    np.testing.assert_array_equal(out, data)
