@@ -32,6 +32,16 @@ def make_view_stacks(arr: np.ndarray) -> np.ndarray:
     return np.stack([arr, arr.transpose(0, 2, 1, 3), arr.transpose(0, 3, 1, 2)])
 
 
+def _squeeze3d(vol: np.ndarray) -> np.ndarray:
+    """Drop trailing singleton dims (NIfTI files often declare dim[0]=4 with
+    a unit 4th axis); 3-D volumes pass through unchanged."""
+    while vol.ndim > 3 and vol.shape[-1] == 1:
+        vol = vol[..., 0]
+    if vol.ndim != 3:
+        raise ValueError(f"expected a 3-D volume, got shape {vol.shape}")
+    return vol
+
+
 def pad_to_cube(vol: np.ndarray, size: int | None = None) -> np.ndarray:
     """Zero-pad a 3-D volume at the high end of each axis to ``size``
     (default: its own max dimension) — reference ``mri_dataset.py:85-98``."""
@@ -98,8 +108,8 @@ class VolumeStore:
 
         imgs, lbls = [], []
         for ip, lp, name in zip(img_paths, lbl_paths, ids):
-            img = nifti.load(ip, dtype=dtype)
-            lbl = nifti.load(lp, dtype=dtype)
+            img = _squeeze3d(nifti.load(ip, dtype=dtype))
+            lbl = _squeeze3d(nifti.load(lp, dtype=dtype))
             if img.shape != lbl.shape:
                 raise ValueError(f"{name}: image {img.shape} != label {lbl.shape}")
             imgs.append(img)

@@ -240,6 +240,12 @@ class VolumeEvaluator:
             for v in range(self.num_views):
                 per_view[v].append(d[v])
             fused_dice.append(d[-1])
+            import logging
+
+            logging.getLogger(__name__).info(
+                "volume %d/%d %s fused dice=%s", i + 1, len(store), store.ids[i],
+                np.round(d[-1], 4),
+            )
             if save_dir:
                 from pmpu_tpu.data import nifti
 

@@ -259,3 +259,13 @@ def test_nifti_big_endian_data(tmp_path):
     pb.write_bytes(bytes(be) + payload)
     out = nifti.load(pb)
     np.testing.assert_array_equal(out, data)
+
+
+def test_volume_store_squeezes_trailing_singleton(tmp_path):
+    (tmp_path / "images").mkdir()
+    (tmp_path / "labels").mkdir()
+    vol4d = RNG.random((4, 4, 4, 1)).astype(np.float32)
+    nifti.save(tmp_path / "images" / "a.nii", vol4d)
+    nifti.save(tmp_path / "labels" / "a.nii", np.zeros((4, 4, 4, 1), np.float32))
+    store = VolumeStore.from_dirs(tmp_path / "images", tmp_path / "labels", use_native=False)
+    assert store.images.shape == (1, 4, 4, 4)
