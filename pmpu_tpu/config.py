@@ -59,6 +59,7 @@ class Config:
     remat: bool = False  # jax.checkpoint the forward (memory for FLOPs)
     train_views: Optional[Sequence[int]] = None  # e.g. (0,) = axial-only training
     loss: str = "auto"  # auto (reference CE/BCE) | dice | ce+dice (unet only)
+    class_weights: Optional[Sequence[float]] = None  # per-class CE weights
     save_uncertainty: Optional[str] = None  # eval: dump fused entropy NIfTIs here
     elastic_alpha: float = 0.0  # elastic deformation magnitude (pixels)
 
@@ -78,6 +79,8 @@ class Config:
         )
         if self.net == "unet" and self.loss != "auto":
             kw["loss_type"] = self.loss
+        if self.class_weights is not None:
+            kw["class_weights"] = tuple(self.class_weights)
         if self.net == "probunet":
             kw.update(latent_dim=self.latent_dim, no_convs_fcomb=self.no_convs_fcomb, beta=self.beta)
         return kw
@@ -142,6 +145,9 @@ def _add_extension_args(p: argparse.ArgumentParser):
     )
     g.add_argument("--loss", dest="loss", type=str, default="auto",
                    choices=["auto", "dice", "ce+dice"])
+    g.add_argument("--class-weights", dest="class_weights",
+                   type=lambda v: tuple(float(x) for x in v.split(",")), default=None,
+                   help="per-class CE weights, e.g. 1,2,8 to upweight thin classes")
     g.add_argument("--save-uncertainty", dest="save_uncertainty", type=str, default=None)
     g.add_argument("--checkpoint-every", dest="checkpoint_every", type=int, default=1,
                    help="epochs between checkpoints (device->host fetch of the full state)")

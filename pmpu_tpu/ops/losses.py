@@ -48,14 +48,20 @@ def soft_dice_loss(pred, target, smooth: float = DICE_SMOOTH):
     return 1.0 - dice_coeff(pred, target, smooth)
 
 
-def cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
+def cross_entropy(logits: jax.Array, labels: jax.Array, class_weights=None) -> jax.Array:
     """Per-pixel CE of NHWC logits vs integer labels (N, H, W).
 
-    Matches torch ``CrossEntropyLoss`` with no reduction (log-softmax + NLL).
+    Matches torch ``CrossEntropyLoss`` with no reduction (log-softmax + NLL);
+    optional per-class weights (torch ``weight=`` semantics for the
+    unreduced case: each pixel's loss scaled by its target class weight).
     """
     logp = jax.nn.log_softmax(logits, axis=-1)
     ll = jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=-1)
-    return -ll[..., 0]
+    ce = -ll[..., 0]
+    if class_weights is not None:
+        w = jnp.asarray(class_weights, ce.dtype)[labels.astype(jnp.int32)]
+        ce = ce * w
+    return ce
 
 
 def bce_with_logits(logits: jax.Array, targets: jax.Array) -> jax.Array:
@@ -71,15 +77,23 @@ def bce(probs: jax.Array, targets: jax.Array, eps: float = 1e-12) -> jax.Array:
     return -(targets * jnp.log(p) + (1.0 - targets) * jnp.log1p(-p))
 
 
-def unet_loss(preds: jax.Array, masks: jax.Array, n_classes: int) -> jax.Array:
+def unet_loss(
+    preds: jax.Array, masks: jax.Array, n_classes: int, class_weights=None
+) -> jax.Array:
     """Deterministic trainer loss — reference ``unet_trainer.py:30-37``.
 
     ``preds`` is the UNet output: logits for n_classes>1, sigmoid probs for
-    n_classes==1. ``masks`` is (N, H, W) or (N, H, W, 1)."""
+    n_classes==1. ``masks`` is (N, H, W) or (N, H, W, 1). With
+    ``class_weights`` the mean is weight-normalized (torch ``weight=``
+    reduction semantics)."""
     if masks.ndim == 4:
         masks = masks[..., 0]
     if n_classes > 1:
-        return jnp.mean(cross_entropy(preds, masks))
+        ce = cross_entropy(preds, masks, class_weights)
+        if class_weights is not None:
+            w = jnp.asarray(class_weights, ce.dtype)[masks.astype(jnp.int32)]
+            return jnp.sum(ce) / jnp.sum(w)
+        return jnp.mean(ce)
     return jnp.mean(bce(preds[..., 0], masks.astype(preds.dtype)))
 
 
@@ -90,6 +104,7 @@ def elbo_loss(
     prior: DiagGaussian,
     beta: float,
     n_classes: int,
+    class_weights=None,
 ):
     """−ELBO = Σ CE(reconstruction, mask) + β · mean KL(q‖p).
 
@@ -102,7 +117,7 @@ def elbo_loss(
     if n_classes == 1:
         rec = jnp.sum(bce_with_logits(logits[..., 0], masks.astype(logits.dtype)))
     else:
-        rec = jnp.sum(cross_entropy(logits, masks))
+        rec = jnp.sum(cross_entropy(logits, masks, class_weights))
     kl = jnp.mean(kl_divergence(posterior, prior))
     loss = rec + beta * kl
     return loss, {"reconstruction_loss": rec, "kl": kl}

@@ -40,9 +40,11 @@ class UNetTask:
         num_filters: Sequence[int] = (64, 128, 256, 512, 1024),
         dtype: Any = None,
         loss_type: str = "auto",
+        class_weights=None,
     ):
         self.n_classes = n_classes
         self.loss_type = loss_type  # auto (reference CE/BCE) | dice | ce+dice
+        self.class_weights = class_weights
         self.net = UNet(
             n_channels=n_channels,
             n_classes=n_classes,
@@ -54,7 +56,7 @@ class UNetTask:
         return self.net.init(key, img, train=False)
 
     def _loss(self, preds, msk):
-        base = losses.unet_loss(preds, msk, self.n_classes)
+        base = losses.unet_loss(preds, msk, self.n_classes, self.class_weights)
         if self.loss_type == "auto":
             return base
         # soft-Dice objective over foreground classes (BASELINE config 1)
@@ -107,9 +109,11 @@ class ProbUNetTask:
         no_convs_fcomb: int = 4,
         beta: float = 10.0,
         dtype: Any = None,
+        class_weights=None,
     ):
         self.n_classes = n_classes
         self.beta = beta
+        self.class_weights = class_weights
         self.net = ProbabilisticUNet(
             input_channels=n_channels,
             num_classes=n_classes,
@@ -150,7 +154,8 @@ class ProbUNetTask:
             method=ProbabilisticUNet.decode,
         )
         loss, aux = losses.elbo_loss(
-            logits, msk, out.posterior, out.prior, self.beta, self.n_classes
+            logits, msk, out.posterior, out.prior, self.beta, self.n_classes,
+            self.class_weights,
         )
         aux["loss"] = loss
         return loss, (mut["batch_stats"], aux)

@@ -161,3 +161,27 @@ def test_l2_regularisation_matches_torch():
     got = losses.l2_regularisation(jax.tree_util.tree_map(jnp.asarray, params))
     want = (torch.from_numpy(params["a"]).norm(2) + torch.from_numpy(params["b"]["c"]).norm(2)).item()
     np.testing.assert_allclose(float(got), want, rtol=1e-5)
+
+
+def test_weighted_cross_entropy_matches_torch():
+    logits = RNG.normal(size=(2, 8, 8, 3)).astype(np.float32)
+    labels = RNG.integers(0, 3, size=(2, 8, 8))
+    w = np.array([1.0, 2.0, 8.0], np.float32)
+    got = losses.unet_loss(jnp.asarray(logits), jnp.asarray(labels), 3, class_weights=w)
+    want = F.cross_entropy(
+        torch.from_numpy(logits).permute(0, 3, 1, 2),
+        torch.from_numpy(labels).long(),
+        weight=torch.from_numpy(w),
+    ).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4)
+
+
+def test_weighted_elbo_sums_weighted_ce():
+    logits = jnp.asarray(RNG.normal(size=(2, 8, 8, 3)).astype(np.float32))
+    masks = jnp.asarray(RNG.integers(0, 3, size=(2, 8, 8)))
+    q = DiagGaussian(jnp.zeros((2, 6)), jnp.zeros((2, 6)))
+    p = DiagGaussian(jnp.zeros((2, 6)), jnp.zeros((2, 6)))
+    w = (1.0, 2.0, 8.0)
+    loss, _ = losses.elbo_loss(logits, masks, q, p, beta=10.0, n_classes=3, class_weights=w)
+    rec = jnp.sum(losses.cross_entropy(logits, masks, jnp.asarray(w)))
+    np.testing.assert_allclose(np.asarray(loss), np.asarray(rec), rtol=1e-6)  # KL=0
