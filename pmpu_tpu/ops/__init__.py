@@ -10,4 +10,8 @@ from pmpu_tpu.ops.losses import (  # noqa: F401
     soft_dice_loss,
     unet_loss,
 )
-from pmpu_tpu.ops.metrics import per_class_dice, volume_per_class_dice  # noqa: F401
+from pmpu_tpu.ops.metrics import (  # noqa: F401
+    generalized_energy_distance,
+    per_class_dice,
+    volume_per_class_dice,
+)

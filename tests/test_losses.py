@@ -185,3 +185,24 @@ def test_weighted_elbo_sums_weighted_ce():
     loss, _ = losses.elbo_loss(logits, masks, q, p, beta=10.0, n_classes=3, class_weights=w)
     rec = jnp.sum(losses.cross_entropy(logits, masks, jnp.asarray(w)))
     np.testing.assert_allclose(np.asarray(loss), np.asarray(rec), rtol=1e-6)  # KL=0
+
+
+def test_generalized_energy_distance_properties():
+    from pmpu_tpu.ops.metrics import generalized_energy_distance
+
+    y = jnp.asarray(RNG.integers(0, 3, size=(1, 8, 8)))
+    # perfect deterministic samples → GED² = 0 (cross=0, within=0)
+    s_perfect = jnp.broadcast_to(y, (4, 8, 8))
+    np.testing.assert_allclose(
+        float(generalized_energy_distance(s_perfect, y, 3)), 0.0, atol=1e-6
+    )
+    # all-background samples vs a truth with foreground → positive
+    s_bad = jnp.zeros((4, 8, 8), jnp.int32)
+    assert float(generalized_energy_distance(s_bad, y, 3)) > 0.5
+    # diverse wrong samples get credit for diversity (within_s > 0 subtracts)
+    rng2 = np.random.default_rng(3)
+    s_div = jnp.asarray(rng2.integers(0, 3, size=(4, 8, 8)))
+    ged_div = float(generalized_energy_distance(s_div, y, 3))
+    s_same = jnp.broadcast_to(s_div[0], (4, 8, 8))
+    ged_same = float(generalized_energy_distance(s_same, y, 3))
+    assert ged_div < ged_same + 0.2  # diversity term reduces (or ties) GED
