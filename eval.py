@@ -94,6 +94,17 @@ def main() -> int:
             nifti.save(os.path.join(cfg.save_uncertainty, store.ids[i]), entropy.astype(np.float32))
         logging.info("wrote uncertainty maps to %s", cfg.save_uncertainty)
 
+    if cfg.net == "probunet" and os.environ.get("PMPU_EVAL_GED"):
+        n_ged = int(os.environ["PMPU_EVAL_GED"])
+        geds = [
+            evaluator.ged_volume(variables, store.images[i], store.labels[i], n_ged,
+                                 key=jax.random.fold_in(jax.random.key(cfg.seed), 1000 + i))
+            for i in range(len(store))
+        ]
+        import numpy as np
+
+        print(f"GED^2 ({n_ged} samples): mean={np.mean(geds):.4f}, std={np.std(geds):.4f}")
+
     for v, arr in enumerate(report["per_view"]):
         print(f"view {v + 1} dice: mean={arr.mean(axis=0)}, std={arr.std(axis=0)}")
     fused = report["fused"]

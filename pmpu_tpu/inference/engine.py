@@ -214,6 +214,36 @@ class VolumeEvaluator:
             result["dice"] = np.asarray(self._report_batched(outs, jnp.asarray(truth_vols)))
         return result
 
+    def ged_volume(self, variables, img_vol, truth_vol, n_ged_samples: int = 4, key=None):
+        """Generalized Energy Distance over whole-volume segmentation samples:
+        each sample is one fused multi-view prediction decoded from a single
+        prior draw (n_samples=1 pass per draw); truth is the single annotation
+        (reference data has one annotator)."""
+        from pmpu_tpu.ops.metrics import generalized_energy_distance
+
+        key = key if key is not None else jax.random.key(0)
+        saved = self.n_samples
+        self.n_samples, predict = 1, self._predict
+        try:
+            # a 1-sample predictor shares this instance's jit cache is NOT
+            # valid (n_samples baked in) — build a dedicated jit once
+            if not hasattr(self, "_predict_one"):
+                one = VolumeEvaluator(
+                    self.task, n_samples=1, eval_batch=self.eval_batch,
+                    num_views=self.num_views, mesh=self.mesh,
+                )
+                self._predict_one = one._predict
+            samples = []
+            for i in range(n_ged_samples):
+                outs = self._predict_one(variables, jnp.asarray(img_vol), jax.random.fold_in(key, i))
+                samples.append(jnp.argmax(outs[-1], axis=-1))
+            samples = jnp.stack(samples)
+        finally:
+            self.n_samples, self._predict = saved, predict
+        truths = jnp.asarray(truth_vol)[None]
+        n_classes = self.task.n_classes if self.task.n_classes > 1 else 2
+        return float(generalized_energy_distance(samples, truths, n_classes))
+
     def evaluate_store(self, variables, store, key=None, save_dir: Optional[str] = None):
         """Evaluate every volume in a VolumeStore; returns the reference's
         report structure: per-view and fused per-class dice arrays

@@ -178,3 +178,18 @@ def test_binary_unet_volume_eval():
     assert res["dice"].shape == (4, 1)
     assert np.isfinite(res["dice"]).all()
     assert set(np.unique(res["argmax"])) <= {0.0, 1.0}
+
+
+def test_ged_volume():
+    task = make_task("probunet", num_filters=(4, 8))
+    vol = RNG.random((12, 12, 12)).astype(np.float32)
+    truth = RNG.integers(0, 3, size=(12, 12, 12)).astype(np.int32)
+    variables = task.init_variables(
+        jax.random.key(0), jnp.zeros((1, 12, 12, 1)), jnp.zeros((1, 12, 12, 1), jnp.int32)
+    )
+    ev = VolumeEvaluator(task, n_samples=3, eval_batch=12)
+    ged = ev.ged_volume(variables, vol, truth, n_ged_samples=3, key=jax.random.key(4))
+    assert np.isfinite(ged)
+    assert -1.0 <= ged <= 2.0
+    # evaluator state restored
+    assert ev.n_samples == 3
