@@ -96,3 +96,25 @@ def test_cli_train_unet_binary(tmp_path):
         cwd=tmp_path,
     )
     assert (tmp_path / "ckpt" / "unet_model.pt").exists()
+
+
+@pytest.mark.slow
+def test_eval_cli_loads_reference_torch_checkpoint(tmp_path):
+    """A torch state_dict saved the reference's way (torch.save) evaluates
+    directly through eval.py (README claim)."""
+    import torch
+
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from torch_mirror import TUNet
+
+    make_dataset(tmp_path / "data")
+    tnet = TUNet(1, 3, (4, 8))
+    torch.save(tnet.state_dict(), tmp_path / "ref_ckpt.pt")
+
+    res = run_cli(
+        "eval.py", "-m", "unet", "-f", str(tmp_path / "ref_ckpt.pt"),
+        "-d", str(tmp_path / "data" / "test"), "--num-filters", "4,8",
+        "--eval-batch", "8",
+        cwd=tmp_path,
+    )
+    assert "avg volume" in res.stdout
