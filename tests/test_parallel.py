@@ -123,3 +123,18 @@ def test_probunet_dp_step_runs():
     )
     assert np.isfinite(float(metrics["loss"]))
     assert int(out_state.step) == 1
+
+
+def test_train_loop_data_parallel_end_to_end():
+    """cfg.data_parallel through the full loop on the 8-device mesh."""
+    from pmpu_tpu.config import Config
+    from pmpu_tpu.train.loop import train_net
+
+    store = make_synthetic_store(n=2, s=16)
+    cfg = Config(
+        net="unet", n_classes=3, epochs=1, batchsize=8, lr=0.05,
+        num_filters=(4, 8), save_cp=False, seed=0, data_parallel=True,
+    )
+    state, task, h = train_net(cfg, store)
+    assert np.isfinite(h["train_loss"]).all()
+    assert int(state.step) > 0
