@@ -94,8 +94,8 @@ def main() -> int:
             nifti.save(os.path.join(cfg.save_uncertainty, store.ids[i]), entropy.astype(np.float32))
         logging.info("wrote uncertainty maps to %s", cfg.save_uncertainty)
 
-    if cfg.net == "probunet" and os.environ.get("PMPU_EVAL_GED"):
-        n_ged = int(os.environ["PMPU_EVAL_GED"])
+    if cfg.net == "probunet" and cfg.ged > 0:
+        n_ged = cfg.ged
         geds = [
             evaluator.ged_volume(variables, store.images[i], store.labels[i], n_ged,
                                  key=jax.random.fold_in(jax.random.key(cfg.seed), 1000 + i))

@@ -61,6 +61,7 @@ class Config:
     loss: str = "auto"  # auto (reference CE/BCE) | dice | ce+dice (unet only)
     class_weights: Optional[Sequence[float]] = None  # per-class CE weights
     save_uncertainty: Optional[str] = None  # eval: dump fused entropy NIfTIs here
+    ged: int = 0  # eval: GED^2 over N whole-volume samples (probunet)
     elastic_alpha: float = 0.0  # elastic deformation magnitude (pixels)
 
     def resolved_n_classes(self) -> int:
@@ -149,6 +150,8 @@ def _add_extension_args(p: argparse.ArgumentParser):
                    type=lambda v: tuple(float(x) for x in v.split(",")), default=None,
                    help="per-class CE weights, e.g. 1,2,8 to upweight thin classes")
     g.add_argument("--save-uncertainty", dest="save_uncertainty", type=str, default=None)
+    g.add_argument("--ged", dest="ged", type=int, default=0,
+                   help="report GED^2 over N whole-volume samples (probunet)")
     g.add_argument("--checkpoint-every", dest="checkpoint_every", type=int, default=1,
                    help="epochs between checkpoints (device->host fetch of the full state)")
     g.add_argument("--elastic-alpha", dest="elastic_alpha", type=float, default=0.0)

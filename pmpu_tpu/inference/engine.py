@@ -222,24 +222,19 @@ class VolumeEvaluator:
         from pmpu_tpu.ops.metrics import generalized_energy_distance
 
         key = key if key is not None else jax.random.key(0)
-        saved = self.n_samples
-        self.n_samples, predict = 1, self._predict
-        try:
-            # a 1-sample predictor shares this instance's jit cache is NOT
-            # valid (n_samples baked in) — build a dedicated jit once
-            if not hasattr(self, "_predict_one"):
-                one = VolumeEvaluator(
-                    self.task, n_samples=1, eval_batch=self.eval_batch,
-                    num_views=self.num_views, mesh=self.mesh,
-                )
-                self._predict_one = one._predict
-            samples = []
-            for i in range(n_ged_samples):
-                outs = self._predict_one(variables, jnp.asarray(img_vol), jax.random.fold_in(key, i))
-                samples.append(jnp.argmax(outs[-1], axis=-1))
-            samples = jnp.stack(samples)
-        finally:
-            self.n_samples, self._predict = saved, predict
+        # n_samples is baked into this instance's jitted predictor, so GED's
+        # single-draw segmentations come from a dedicated 1-sample evaluator
+        if not hasattr(self, "_predict_one"):
+            one = VolumeEvaluator(
+                self.task, n_samples=1, eval_batch=self.eval_batch,
+                num_views=self.num_views, mesh=self.mesh,
+            )
+            self._predict_one = one._predict
+        samples = []
+        for i in range(n_ged_samples):
+            outs = self._predict_one(variables, jnp.asarray(img_vol), jax.random.fold_in(key, i))
+            samples.append(jnp.argmax(outs[-1], axis=-1))
+        samples = jnp.stack(samples)
         truths = jnp.asarray(truth_vol)[None]
         n_classes = self.task.n_classes if self.task.n_classes > 1 else 2
         return float(generalized_energy_distance(samples, truths, n_classes))

@@ -60,8 +60,6 @@ class UNetTask:
         if self.loss_type == "auto":
             return base
         # soft-Dice objective over foreground classes (BASELINE config 1)
-        import jax.numpy as jnp
-
         m = msk[..., 0] if msk.ndim == 4 else msk
         if self.n_classes == 1:
             dice = losses.soft_dice_loss(preds[..., 0], m.astype(preds.dtype))
