@@ -118,3 +118,26 @@ def test_eval_cli_loads_reference_torch_checkpoint(tmp_path):
         cwd=tmp_path,
     )
     assert "avg volume" in res.stdout
+
+
+@pytest.mark.slow
+def test_eval_cli_ged_and_uncertainty(tmp_path):
+    make_dataset(tmp_path / "data")
+    run_cli(
+        "train.py", "-m", "probunet", "-d", str(tmp_path / "data" / "train"),
+        "-e", "1", "-b", "2", "--num-filters", "4,8",
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+        cwd=tmp_path,
+    )
+    res = run_cli(
+        "eval.py", "-m", "probunet", "-f", str(tmp_path / "ckpt" / "probunet_model.pt"),
+        "-d", str(tmp_path / "data" / "test"), "--eval-samples", "2", "--eval-batch", "8",
+        "--ged", "2", "--save-uncertainty", str(tmp_path / "unc"),
+        cwd=tmp_path,
+    )
+    assert "GED^2" in res.stdout
+    unc_files = list((tmp_path / "unc").glob("*.nii"))
+    assert len(unc_files) == 2
+    ent = nifti.load(unc_files[0])
+    assert ent.shape == (16, 16, 16)
+    assert np.isfinite(ent).all() and ent.min() >= -1e-6
