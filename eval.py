@@ -73,28 +73,20 @@ def main() -> int:
         mesh=mesh,
     )
     os.makedirs("predictions", exist_ok=True)
-    report = evaluator.evaluate_store(
-        variables, store, key=jax.random.key(cfg.seed), save_dir="predictions"
-    )
-
     if cfg.save_uncertainty:
-        # per-voxel predictive entropy of the fused class probabilities
-        import numpy as np
-
-        from pmpu_tpu.data import nifti
-
         os.makedirs(cfg.save_uncertainty, exist_ok=True)
-        for i in range(len(store)):
-            res = evaluator.evaluate_volume(
-                variables, store.images[i], key=jax.random.fold_in(jax.random.key(cfg.seed), i),
-                return_views=False,
-            )
-            fused = np.asarray(res["fused"])
-            entropy = -np.sum(fused * np.log(fused + 1e-12), axis=-1)
-            nifti.save(os.path.join(cfg.save_uncertainty, store.ids[i]), entropy.astype(np.float32))
+    # one model pass per volume: dice report, argmax NIfTI, and (optional)
+    # fused-entropy uncertainty maps all come out of the same fused volume
+    report = evaluator.evaluate_store(
+        variables, store, key=jax.random.key(cfg.seed), save_dir="predictions",
+        uncertainty_dir=cfg.save_uncertainty,
+    )
+    if cfg.save_uncertainty:
         logging.info("wrote uncertainty maps to %s", cfg.save_uncertainty)
 
     if cfg.net == "probunet" and cfg.ged > 0:
+        # GED is the one multi-pass mode: one extra whole-volume pass that
+        # decodes N prior draws while sharing the UNet/prior forwards
         n_ged = cfg.ged
         geds = [
             evaluator.ged_volume(variables, store.images[i], store.labels[i], n_ged,

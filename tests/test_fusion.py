@@ -193,3 +193,40 @@ def test_ged_volume():
     assert -1.0 <= ged <= 2.0
     # evaluator state restored
     assert ev.n_samples == 3
+
+
+def test_per_sample_predict_deterministic_model_invariant():
+    """per_sample=True on the deterministic UNet: every sample slot is the
+    same segmentation, and it matches the regular (mean) path exactly."""
+    task = make_task("unet", n_classes=3, num_filters=(4, 8))
+    vol = RNG.random((12, 12, 12)).astype(np.float32)
+    variables = task.init_variables(
+        jax.random.key(0), jnp.zeros((1, 12, 12, 1)), jnp.zeros((1, 12, 12, 1), jnp.int32)
+    )
+    ev = VolumeEvaluator(task, eval_batch=6)
+    fused = np.asarray(ev._predict(variables, jnp.asarray(vol), jax.random.key(1))[-1])
+    per = np.asarray(
+        jax.jit(lambda v, x, k: ev._predict_volume(v, x, k, per_sample=True))(
+            variables, jnp.asarray(vol), jax.random.key(1)
+        )[-1]
+    )
+    assert per.shape == (1, 12, 12, 12, 3)
+    np.testing.assert_allclose(per[0], fused, rtol=1e-6, atol=1e-7)
+
+
+def test_per_sample_probunet_shares_forward_and_varies():
+    """per_sample probunet: n distinct fused segmentation samples from one
+    pass; deterministic given the key; the sample axis actually varies."""
+    task = make_task("probunet", num_filters=(4, 8))
+    vol = RNG.random((12, 12, 12)).astype(np.float32)
+    variables = task.init_variables(
+        jax.random.key(0), jnp.zeros((1, 12, 12, 1)), jnp.zeros((1, 12, 12, 1), jnp.int32)
+    )
+    ev = VolumeEvaluator(task, n_samples=4, eval_batch=6)
+    f = jax.jit(lambda v, x, k: ev._predict_volume(v, x, k, per_sample=True)[-1])
+    a = np.asarray(f(variables, jnp.asarray(vol), jax.random.key(5)))
+    b = np.asarray(f(variables, jnp.asarray(vol), jax.random.key(5)))
+    assert a.shape == (4, 12, 12, 12, 3)
+    np.testing.assert_array_equal(a, b)
+    # different prior draws → at least one pair of samples must differ
+    assert any(np.abs(a[0] - a[i]).max() > 0 for i in range(1, 4))
