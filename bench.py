@@ -4,14 +4,33 @@
 Runs the flagship ProbabilisticUNet (reference defaults: filters
 64..1024, latent 6, 5 prior samples/slice — ``probunet_trainer.py:16``,
 ``eval.py:148``) over full 128³ volumes with 3-view fused inference on the
-current accelerator, and prints ONE JSON line:
+current accelerator, and prints ONE JSON line whose primary fields are
 
     {"metric": "...", "value": sec_per_volume, "unit": "s", "vs_baseline": x}
 
 ``vs_baseline`` = measured reference-algorithm CPU wall-clock
 (baselines/reference_cpu.json, produced by tools/measure_baseline.py —
-the reference publishes no numbers, BASELINE.md) divided by our time:
+the reference publishes no numbers, BASELINE.md) divided by our time;
 >1 means faster than the reference; the target is ≥5.
+
+Extra fields on the same line (measurement protocol, VERDICT r1 items 1/7/8):
+
+  repeat_times_s    per-repeat wall-clock (separates tunnel contention
+                    from regression: contention shows as outliers over a
+                    stable min)
+  min_s / median_s  min-of-N and median of the repeats (value = median)
+  flops_per_volume  XLA cost-analysis FLOPs of the compiled whole-volume
+                    program (fallback: null if the backend won't report)
+  achieved_tflops   flops_per_volume / min_s / 1e12
+  mfu               achieved_tflops / peak (peak from the device kind;
+                    BENCH_PEAK_TFLOPS overrides; null off-TPU)
+  train_slices_per_sec_per_chip / train_vs_baseline
+                    secondary train-throughput metric + ratio vs the
+                    measured reference CPU train control
+                    (baselines/reference_cpu_train.json)
+
+Env knobs: BENCH_CUBE/SAMPLES/EVAL_BATCH/REPEATS/BF16/FILTERS/MODE,
+BENCH_SKIP_TRAIN=1 to drop the train sub-benchmark, BENCH_PEAK_TFLOPS.
 """
 
 from __future__ import annotations
@@ -29,14 +48,54 @@ EVAL_BATCH = int(os.environ.get("BENCH_EVAL_BATCH", "192"))
 REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 BF16 = os.environ.get("BENCH_BF16", "1") == "1"
 MODE = os.environ.get("BENCH_MODE", "infer")  # infer | train
+SKIP_TRAIN = os.environ.get("BENCH_SKIP_TRAIN", "0") == "1"
 FILTERS = tuple(
     int(x) for x in os.environ.get("BENCH_FILTERS", "64,128,256,512,1024").split(",")
 )
 
+# bf16 peak TFLOP/s per chip by device kind substring (public specs);
+# BENCH_PEAK_TFLOPS overrides, anything unrecognized → None (mfu null)
+_PEAKS = (("v5 lite", 197.0), ("v5e", 197.0), ("v5p", 459.0), ("v4", 275.0), ("v6", 918.0))
 
-def bench_train():
+
+def _peak_tflops():
+    env = os.environ.get("BENCH_PEAK_TFLOPS")
+    if env:
+        return float(env)
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for sub, peak in _PEAKS:
+        if sub in kind:
+            return peak
+    return None
+
+
+def _flops_of(compiled) -> float | None:
+    """XLA cost-analysis FLOPs of a compiled program (None if unreported)."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
+
+
+def _load_baseline(name: str):
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "baselines", name)
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return None
+
+
+def bench_train() -> dict:
     """Secondary metric: train slices/sec/chip (BASELINE.md) — flagship
-    probunet, batch 32 slices/step, bf16 compute, remat off."""
+    probunet, batch 32 slices/step, bf16 compute, remat off. Control:
+    the reference's train step (fwd+bwd of all 3 towers, SGD, batch 2)
+    measured on CPU by ``tools/measure_baseline.py --mode train``."""
     import jax
     import jax.numpy as jnp
 
@@ -81,22 +140,20 @@ def bench_train():
         state, m = step(state, vt_i, vt_l, triples, jax.random.fold_in(jax.random.key(2), i), 1e-4)
     fetch(state)
     sec = (time.perf_counter() - t0) / n_steps
-    print(
-        json.dumps(
-            {
-                "metric": f"train slices/sec/chip ({s}^2 slices, probunet, batch {batch}, bf16={BF16})",
-                "value": round(batch / sec, 2),
-                "unit": "slices/s",
-                "vs_baseline": None,
-            }
-        )
-    )
-    return 0
+    slices_per_sec = batch / sec
+
+    vs = None
+    base = _load_baseline("reference_cpu_train.json")
+    if base and base.get("cube") == s and list(FILTERS) == base.get("num_filters"):
+        vs = slices_per_sec / base["slices_per_sec"]
+    return {
+        "train_slices_per_sec_per_chip": round(slices_per_sec, 2),
+        "train_batch": batch,
+        "train_vs_baseline": round(vs, 2) if vs else None,
+    }
 
 
-def main():
-    if MODE == "train":
-        return bench_train()
+def bench_infer() -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -115,9 +172,14 @@ def main():
 
     vols = [rng.random((s, s, s)).astype(np.float32) for _ in range(REPEATS)]
 
-    # compile + warmup (excluded, as the program is reused across volumes)
+    # compile + warmup (excluded, as the program is reused across volumes);
+    # lower+compile explicitly so the SAME executable yields cost analysis
+    lowered = ev._predict.lower(variables, jnp.asarray(vols[0]), jax.random.key(99))
+    compiled = lowered.compile()
+    flops = _flops_of(compiled)
     res = ev.evaluate_volume(variables, vols[0], key=jax.random.key(99))
     jax.block_until_ready(res["fused"])
+    _ = res["argmax"]
 
     times = []
     for i, v in enumerate(vols):
@@ -126,30 +188,59 @@ def main():
         jax.block_until_ready(r["fused"])
         _ = r["argmax"]  # include device→host of the final segmentation
         times.append(time.perf_counter() - t0)
-    sec_per_volume = float(np.median(times))
+    sec_min = float(np.min(times))
+    sec_med = float(np.median(times))
 
     vs_baseline = None
-    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "baselines", "reference_cpu.json")
-    if os.path.exists(base_path):
-        with open(base_path) as f:
-            base = json.load(f)
-        if (
-            base.get("cube") == s
-            and base.get("samples_per_slice") == SAMPLES
-            and list(FILTERS) == base.get("num_filters")
-        ):
-            vs_baseline = base["sec_per_volume_extrapolated"] / sec_per_volume
+    base = _load_baseline("reference_cpu.json")
+    if (
+        base
+        and base.get("cube") == s
+        and base.get("samples_per_slice") == SAMPLES
+        and list(FILTERS) == base.get("num_filters")
+    ):
+        vs_baseline = base["sec_per_volume_extrapolated"] / sec_med
 
-    print(
-        json.dumps(
-            {
-                "metric": f"sec/volume multi-view inference ({s}^3, probunet, {SAMPLES} samples)",
-                "value": round(sec_per_volume, 4),
-                "unit": "s",
-                "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
-            }
-        )
-    )
+    peak = _peak_tflops()
+    achieved = flops / sec_min / 1e12 if flops else None
+    return {
+        "metric": f"sec/volume multi-view inference ({s}^3, probunet, {SAMPLES} samples)",
+        "value": round(sec_med, 4),
+        "unit": "s",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "min_s": round(sec_min, 4),
+        "median_s": round(sec_med, 4),
+        "repeat_times_s": [round(t, 4) for t in times],
+        "flops_per_volume": flops,
+        "achieved_tflops": round(achieved, 4) if achieved else None,
+        "peak_tflops": peak,
+        "mfu": round(achieved / peak, 4) if achieved and peak else None,
+        "device": jax.devices()[0].device_kind,
+        "bf16": BF16,
+        "eval_batch": EVAL_BATCH,
+    }
+
+
+def main():
+    if MODE == "train":
+        out = bench_train()
+        out = {
+            "metric": f"train slices/sec/chip ({CUBE}^2 slices, probunet, "
+            f"batch {out['train_batch']}, bf16={BF16})",
+            "value": out["train_slices_per_sec_per_chip"],
+            "unit": "slices/s",
+            "vs_baseline": out["train_vs_baseline"],
+        }
+        print(json.dumps(out))
+        return 0
+
+    out = bench_infer()
+    if not SKIP_TRAIN:
+        try:
+            out.update(bench_train())
+        except Exception as e:  # train sub-bench must never sink the primary
+            out["train_error"] = repr(e)
+    print(json.dumps(out))
     return 0
 
 

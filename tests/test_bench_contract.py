@@ -1,4 +1,6 @@
-"""bench.py must emit exactly one JSON line with the driver's schema."""
+"""bench.py must emit exactly one JSON line with the driver's schema
+(metric/value/unit/vs_baseline) plus the measurement-protocol extras
+(per-repeat times, min/median, FLOPs, MFU, train sub-metric)."""
 
 import json
 import os
@@ -10,20 +12,19 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-@pytest.mark.slow
-@pytest.mark.parametrize("mode", ["infer", "train"])
-def test_bench_json_contract(mode):
+def _run_bench(mode, skip_train="0"):
     env = dict(os.environ)
     env.update(
         PMPU_FORCE_CPU="1",
         BENCH_CUBE="16",
         BENCH_SAMPLES="2",
         BENCH_EVAL_BATCH="16",
-        BENCH_REPEATS="1",
+        BENCH_REPEATS="2",
         BENCH_FILTERS="4,8",
         BENCH_BF16="0",
         BENCH_MODE=mode,
         BENCH_TRAIN_BATCH="4",
+        BENCH_SKIP_TRAIN=skip_train,
     )
     res = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -32,6 +33,40 @@ def test_bench_json_contract(mode):
     assert res.returncode == 0, res.stderr
     lines = [ln for ln in res.stdout.splitlines() if ln.strip().startswith("{")]
     assert len(lines) == 1, res.stdout
-    rec = json.loads(lines[0])
+    return json.loads(lines[0])
+
+
+@pytest.mark.slow
+def test_bench_infer_contract_and_protocol():
+    rec = _run_bench("infer")
+    # driver schema (primary fields)
+    for k in ("metric", "value", "unit", "vs_baseline"):
+        assert k in rec
+    assert rec["value"] > 0
+    assert rec["unit"] == "s"
+    # measurement protocol (VERDICT r1 items 1/8)
+    assert len(rec["repeat_times_s"]) == 2
+    assert rec["min_s"] <= rec["median_s"]
+    assert rec["value"] == rec["median_s"]
+    assert rec["flops_per_volume"] is None or rec["flops_per_volume"] > 0
+    # off-TPU: peak unknown → mfu null; on TPU it must be set
+    if rec["peak_tflops"] is None:
+        assert rec["mfu"] is None
+    # train sub-metric rides the same line (VERDICT r1 item 7)
+    assert "train_slices_per_sec_per_chip" in rec
+    assert rec["train_slices_per_sec_per_chip"] > 0
+
+
+@pytest.mark.slow
+def test_bench_train_mode_contract():
+    rec = _run_bench("train")
     assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    assert rec["value"] > 0
+    assert rec["unit"] == "slices/s"
+
+
+@pytest.mark.slow
+def test_bench_skip_train():
+    rec = _run_bench("infer", skip_train="1")
+    assert "train_slices_per_sec_per_chip" not in rec
     assert rec["value"] > 0
