@@ -77,10 +77,17 @@ def main() -> int:
         os.makedirs(cfg.save_uncertainty, exist_ok=True)
     # one model pass per volume: dice report, argmax NIfTI, and (optional)
     # fused-entropy uncertainty maps all come out of the same fused volume
-    report = evaluator.evaluate_store(
-        variables, store, key=jax.random.key(cfg.seed), save_dir="predictions",
-        uncertainty_dir=cfg.save_uncertainty,
-    )
+    if cfg.eval_mode == "batched":
+        report = evaluator.evaluate_store_batched(
+            variables, store, key=jax.random.key(cfg.seed), save_dir="predictions",
+            uncertainty_dir=cfg.save_uncertainty,
+            volumes_per_batch=cfg.eval_volumes_batch,
+        )
+    else:
+        report = evaluator.evaluate_store(
+            variables, store, key=jax.random.key(cfg.seed), save_dir="predictions",
+            uncertainty_dir=cfg.save_uncertainty,
+        )
     if cfg.save_uncertainty:
         logging.info("wrote uncertainty maps to %s", cfg.save_uncertainty)
 

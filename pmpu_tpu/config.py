@@ -63,6 +63,9 @@ class Config:
     save_uncertainty: Optional[str] = None  # eval: dump fused entropy NIfTIs here
     ged: int = 0  # eval: GED^2 over N whole-volume samples (probunet)
     elastic_alpha: float = 0.0  # elastic deformation magnitude (pixels)
+    eval_mode: str = "sequential"  # sequential | batched (vmap volumes for throughput)
+    eval_volumes_batch: int = 2  # volumes per vmapped program in batched eval mode
+    stream: bool = False  # host-streaming data path (datasets larger than HBM)
 
     def resolved_n_classes(self) -> int:
         if self.n_classes is not None:
@@ -155,6 +158,13 @@ def _add_extension_args(p: argparse.ArgumentParser):
     g.add_argument("--checkpoint-every", dest="checkpoint_every", type=int, default=1,
                    help="epochs between checkpoints (device->host fetch of the full state)")
     g.add_argument("--elastic-alpha", dest="elastic_alpha", type=float, default=0.0)
+    g.add_argument("--eval-mode", dest="eval_mode", type=str, default="sequential",
+                   choices=["sequential", "batched"],
+                   help="batched = vmap whole-volume pipelines over volume groups")
+    g.add_argument("--eval-volumes-batch", dest="eval_volumes_batch", type=int, default=2)
+    g.add_argument("--stream", dest="stream", action="store_true",
+                   help="stream slice batches from host RAM instead of keeping "
+                   "the volume stack in HBM (datasets larger than device memory)")
 
 
 def config_from_args(args: argparse.Namespace) -> Config:

@@ -92,6 +92,17 @@ def sample_batch_vt(vt_images: jax.Array, vt_labels: jax.Array, triples: jax.Arr
     return jax.vmap(one)(triples)
 
 
+def sample_rows(images: jax.Array, labels: jax.Array, triples: jax.Array):
+    """Passthrough sampler for the host-streaming data path
+    (``pmpu_tpu.data.pipeline.PrefetchPipeline``): ``images`` is a
+    pre-gathered, pre-normalized (B,S,S,1) f32 slice batch and ``labels``
+    its (B,S,S,1) i32 masks; ``triples[:, 0]`` are row indices into the
+    batch, so gradient-accumulation microbatching slices rows exactly like
+    the on-device samplers slice (scan, view, slice) triples."""
+    rows = triples[:, 0]
+    return images[rows], labels[rows]
+
+
 def make_oblique_sampler(bases):
     """Training sampler over k isotropic oblique views (the reference's
     arbitrary-axis TODO, ``mri_dataset.py:71``; BASELINE "6-view isotropic").

@@ -52,6 +52,9 @@ class VolumeEvaluator:
                   heuristic, ~192 slices at 128² scaled by slice area);
                   -1 → the whole 3S slab in one invocation
       num_views: 3 → exact reference multi-planar path; else isotropic oblique
+      mean_z: decode the prior MEAN instead of sampling (deterministic —
+              the parity mode used by tools/compare_with_reference.py;
+              all n_samples collapse to one decode)
     """
 
     def __init__(
@@ -61,9 +64,11 @@ class VolumeEvaluator:
         eval_batch: int = 0,
         num_views: int = 3,
         mesh=None,
+        mean_z: bool = False,
     ):
         self.task = task
-        self.n_samples = n_samples
+        self.n_samples = 1 if mean_z else n_samples
+        self.mean_z = mean_z
         self.eval_batch = eval_batch
         self.num_views = num_views
         self.mesh = mesh  # shard the slice-slab batch axis over mesh 'data'
@@ -81,10 +86,13 @@ class VolumeEvaluator:
             net: ProbabilisticUNet = self.task.net
             out = net.apply(variables, x, train=False)
             loc, scale = out.prior.loc, out.prior.scale
-            eps = jax.random.normal(
-                key, (self.n_samples,) + loc.shape, loc.dtype
-            )
-            zs = loc[None] + scale[None] * eps  # (n_samples, N, latent)
+            if self.mean_z:  # deterministic prior-mean decode (parity mode)
+                zs = loc[None]
+            else:
+                eps = jax.random.normal(
+                    key, (self.n_samples,) + loc.shape, loc.dtype
+                )
+                zs = loc[None] + scale[None] * eps  # (n_samples, N, latent)
 
             def decode(z):
                 return net.apply(
@@ -230,6 +238,70 @@ class VolumeEvaluator:
         if truth_vols is not None:
             result["dice"] = np.asarray(self._report_batched(outs, jnp.asarray(truth_vols)))
         return result
+
+    def evaluate_store_batched(
+        self,
+        variables,
+        store,
+        key=None,
+        save_dir: Optional[str] = None,
+        uncertainty_dir: Optional[str] = None,
+        volumes_per_batch: int = 2,
+    ):
+        """Throughput variant of :meth:`evaluate_store`: volumes are grouped
+        and each group runs as ONE vmapped whole-volume program
+        (:meth:`evaluate_volumes_batched`), trading ``volumes_per_batch`` ×
+        the activation memory for fewer, larger XLA dispatches. The report
+        structure, NIfTI exports, and fused-entropy uncertainty maps match
+        the sequential path exactly (tested); the final partial group is
+        padded by repeating the last volume so one program shape serves the
+        whole store."""
+        key = key if key is not None else jax.random.key(0)
+        vb = max(1, volumes_per_batch)
+        n = len(store)
+        per_view = [[] for _ in range(self.num_views)]
+        fused_dice = []
+        if uncertainty_dir is not None and not hasattr(self, "_entropy"):
+            self._entropy = jax.jit(
+                lambda p: -jnp.sum(p * jnp.log(p + 1e-12), axis=-1)
+            )
+        from pmpu_tpu.data import nifti
+        import logging
+
+        logger = logging.getLogger(__name__)
+        for g0 in range(0, n, vb):
+            idxs = list(range(g0, min(g0 + vb, n)))
+            pad = vb - len(idxs)
+            sel = idxs + [idxs[-1]] * pad  # repeat-pad the last group
+            imgs = np.stack([store.images[i] for i in sel])
+            truths = np.stack([store.labels[i] for i in sel])
+            # per-group key (volumes within a group are folded again by
+            # position inside evaluate_volumes_batched); probabilistic draws
+            # are deterministic per mode but differ from the sequential path
+            gkey = jax.random.fold_in(key, g0 // vb)
+            out = self.evaluate_volumes_batched(variables, imgs, truths, key=gkey)
+            fused = out["fused"]
+            argmax = np.asarray(jnp.argmax(fused, axis=-1)).astype(np.float32)
+            for j, i in enumerate(idxs):
+                d = out["dice"][j]
+                for v in range(self.num_views):
+                    per_view[v].append(d[v])
+                fused_dice.append(d[-1])
+                logger.info(
+                    "volume %d/%d %s fused dice=%s", i + 1, n, store.ids[i],
+                    np.round(d[-1], 4),
+                )
+                if save_dir:
+                    nifti.save(f"{save_dir}/{store.ids[i]}", argmax[j])
+                if uncertainty_dir is not None:
+                    entropy = np.asarray(self._entropy(fused[j]))
+                    nifti.save(
+                        f"{uncertainty_dir}/{store.ids[i]}", entropy.astype(np.float32)
+                    )
+        return {
+            "per_view": [np.stack(v) for v in per_view],
+            "fused": np.stack(fused_dice),
+        }
 
     def ged_volume(self, variables, img_vol, truth_vol, n_ged_samples: int = 4, key=None):
         """Generalized Energy Distance over whole-volume segmentation samples:

@@ -75,6 +75,18 @@ def train_net(cfg: Config, store: VolumeStore, interrupt_flag=None):
         images_d = jax.device_put(jnp.asarray(store.images))
         labels_d = jax.device_put(jnp.asarray(store.labels))
         sampler = make_oblique_sampler(bases)
+    elif cfg.stream:
+        # host-streaming path for datasets larger than HBM: slices are
+        # gathered on the host (load-once VolumeStore) and double-buffered
+        # onto the device; the jitted step sees pre-gathered (B,S,S,1)
+        # batches addressed by row (sample_rows)
+        from pmpu_tpu.data.sampler import sample_rows
+
+        if cfg.data_parallel:
+            raise ValueError("--stream is not supported with --data-parallel yet")
+        index = build_index_map(store.labels, filter=True)
+        images_d = labels_d = None
+        sampler = sample_rows
     elif cfg.view_stacks:
         # pre-transposed (3,N,S,S,S) view stacks: every slice gather is one
         # contiguous plane (3x HBM for bandwidth; cfg.view_stacks=False falls
@@ -161,6 +173,15 @@ def train_net(cfg: Config, store: VolumeStore, interrupt_flag=None):
     history = {"train_loss": [], "val_loss": [], "val_dice": [], "step_time": []}
     os.makedirs(cfg.checkpoint_dir, exist_ok=True)
 
+    stream_pipe = None
+    if cfg.stream and cfg.num_views == 3:
+        from pmpu_tpu.data.pipeline import PrefetchPipeline
+
+        stream_pipe = PrefetchPipeline(store)
+        log.info("streaming data path: host gather + double-buffered uploads")
+    elif cfg.stream:
+        log.warning("--stream requires the 3 standard views; using HBM-resident oblique path")
+
     model_extra = {"model_config": _model_config(cfg, task)}
     latest = {"state": state}
     ctx = trace(cfg.profile_dir) if cfg.profile_dir else _nullcontext()
@@ -169,7 +190,7 @@ def train_net(cfg: Config, store: VolumeStore, interrupt_flag=None):
             state = _run_epochs(
                 cfg, task, latest, train_step, eval_step, plateau, writer, key,
                 images_d, labels_d, index, train_idx, val_idx, rng, per_step,
-                n_classes, history, interrupt_flag,
+                n_classes, history, interrupt_flag, stream_pipe,
             )
     except KeyboardInterrupt:
         # emergency checkpoint — reference train.py:271-273
@@ -207,10 +228,15 @@ class _nullcontext:
         return False
 
 
+def _stream_rows(per_step):
+    """Row-index 'triples' for the streaming sampler (sample_rows)."""
+    return jnp.asarray(np.tile(np.arange(per_step, dtype=np.int32)[:, None], (1, 3)))
+
+
 def _run_epochs(
     cfg, task, latest, train_step, eval_step, plateau, writer, key,
     images_d, labels_d, index, train_idx, val_idx, rng, per_step,
-    n_classes, history, interrupt_flag,
+    n_classes, history, interrupt_flag, stream_pipe=None,
 ):
     state = latest["state"]
     timer = StepTimer(slices_per_step=per_step)
@@ -221,20 +247,39 @@ def _run_epochs(
         order = rng.permutation(len(train_idx))
         n_steps = len(order) // per_step
         epoch_losses = []
-        for i in range(n_steps):
-            if interrupt_flag is not None and interrupt_flag():
-                raise KeyboardInterrupt
-            sel = train_idx[order[i * per_step : (i + 1) * per_step]]
-            triples = jnp.asarray(index[sel])
-            key, sk = jax.random.split(key)
+
+        def _train_one(state, args, global_step):
+            imgs, lbls, triples, sk = args
             timer.start()
-            state, metrics = train_step(state, images_d, labels_d, triples, sk, plateau.lr)
+            state, metrics = train_step(state, imgs, lbls, triples, sk, plateau.lr)
             loss = float(metrics["loss"])  # host sync: step complete
             timer.stop()
             latest["state"] = state
             epoch_losses.append(loss)
             writer.scalar("Loss/train", loss, global_step)
-            global_step += 1
+            return state
+
+        if stream_pipe is None:
+            for i in range(n_steps):
+                if interrupt_flag is not None and interrupt_flag():
+                    raise KeyboardInterrupt
+                sel = train_idx[order[i * per_step : (i + 1) * per_step]]
+                triples = jnp.asarray(index[sel])
+                key, sk = jax.random.split(key)
+                state = _train_one(state, (images_d, labels_d, triples, sk), global_step)
+                global_step += 1
+        else:
+            batches = [
+                np.asarray(index[train_idx[order[i * per_step : (i + 1) * per_step]]])
+                for i in range(n_steps)
+            ]
+            rows = _stream_rows(per_step)
+            for imgs, lbls in stream_pipe.iterate(batches):
+                if interrupt_flag is not None and interrupt_flag():
+                    raise KeyboardInterrupt
+                key, sk = jax.random.split(key)
+                state = _train_one(state, (imgs, lbls, rows, sk), global_step)
+                global_step += 1
         history["train_loss"].append(float(np.mean(epoch_losses)) if epoch_losses else float("nan"))
         history["perf"] = timer.summary()
         history["step_time"] = [timer.sec_per_step]
@@ -245,13 +290,24 @@ def _run_epochs(
         val_steps = max(len(val_idx) // per_step, 1) if len(val_idx) else 0
         loss_sum, dice_sum = 0.0, np.zeros(max(n_classes - 1, 1))
         logged_images = False
+        val_sels = [
+            val_idx[i * per_step : (i + 1) * per_step] for i in range(val_steps)
+        ]
+        val_sels = [s for s in val_sels if len(s)]
+        val_steps = len(val_sels)
+        if stream_pipe is not None:
+            val_stream = stream_pipe.iterate([np.asarray(index[s]) for s in val_sels])
         for i in range(val_steps):
-            sel = val_idx[i * per_step : (i + 1) * per_step]
-            if len(sel) == 0:
-                break
-            triples = jnp.asarray(index[sel])
+            sel = val_sels[i]
             key, sk = jax.random.split(key)
-            vloss, dice, preds, img, msk = eval_step(state, images_d, labels_d, triples, sk)
+            if stream_pipe is None:
+                triples = jnp.asarray(index[sel])
+                vloss, dice, preds, img, msk = eval_step(state, images_d, labels_d, triples, sk)
+            else:
+                imgs_b, lbls_b = next(val_stream)
+                vloss, dice, preds, img, msk = eval_step(
+                    state, imgs_b, lbls_b, _stream_rows(len(sel)), sk
+                )
             loss_sum += float(vloss)
             dice_sum += np.asarray(dice)
             if not logged_images:  # one image triplet per val round (train.py:156-160)

@@ -230,3 +230,33 @@ def test_per_sample_probunet_shares_forward_and_varies():
     np.testing.assert_array_equal(a, b)
     # different prior draws → at least one pair of samples must differ
     assert any(np.abs(a[0] - a[i]).max() > 0 for i in range(1, 4))
+
+
+def test_probunet_whole_pipeline_parity_with_reference_loop():
+    """End-to-end probunet parity (VERDICT r1 item 2): identical weights
+    through (a) the reference's bs=1 slice loop in torch (prior-MEAN decode
+    for determinism) and (b) our whole-volume engine with mean_z — fused
+    volumes must agree to float tolerance and argmax exactly."""
+    import sys as _sys, os as _os
+
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", "tools"))
+    from compare_with_reference import reference_eval_volume
+    from tests.torch_mirror import TProbUNet
+    from pmpu_tpu.train import checkpoint as ckpt
+
+    torch.manual_seed(3)
+    nf = (4, 8)
+    tnet = TProbUNet(1, 3, nf, latent_dim=6, no_convs_fcomb=4)
+    variables = ckpt.import_torch_state_dict(tnet.state_dict(), "probunet", num_filters=nf)
+    task = make_task("probunet", n_classes=3, num_filters=nf, latent_dim=6)
+
+    s = 12
+    vol = RNG.random((s, s, s)).astype(np.float32)
+    ref_fused = reference_eval_volume(tnet, vol, probunet=True, n_samples=1)  # [X,C,Y,Z]
+
+    ev = VolumeEvaluator(task, eval_batch=0, mean_z=True)
+    res = ev.evaluate_volume(variables, vol, key=jax.random.key(0))
+    ours = np.asarray(res["fused"]).transpose(0, 3, 1, 2)
+
+    np.testing.assert_allclose(ours, ref_fused, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(ours.argmax(1), ref_fused.argmax(1))

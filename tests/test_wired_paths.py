@@ -1,0 +1,89 @@
+"""The previously-orphaned capabilities reachable from the CLI
+(VERDICT r1 item 5): --stream (host-streaming train data path through
+PrefetchPipeline) and --eval-mode batched (vmapped whole-volume groups
+through evaluate_volumes_batched)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.test_cli import make_dataset, run_cli
+
+from pmpu_tpu.config import Config
+from pmpu_tpu.data.volumes import VolumeStore
+from pmpu_tpu.inference.engine import VolumeEvaluator
+from pmpu_tpu.train.loop import train_net
+from pmpu_tpu.train.tasks import make_task
+
+RNG = np.random.default_rng(11)
+
+
+def _store(tmp_path, n=2, s=16):
+    make_dataset(tmp_path / "data", n=n, s=s)
+    root = tmp_path / "data" / "train"
+    return VolumeStore.from_dirs(str(root / "images"), str(root / "labels"))
+
+
+def test_stream_training_matches_device_resident(tmp_path):
+    """Same seed, same data: the streamed pipeline must land on the same
+    trained parameters as the HBM-resident path (the host gather is the
+    sampler's bit-parity oracle)."""
+    store = _store(tmp_path)
+    base = dict(net="unet", num_filters=(4, 8), epochs=1, batchsize=2, seed=7,
+                save_cp=False, val=10.0)
+    state_a, _, hist_a = train_net(Config(**base, stream=False), store)
+    state_b, _, hist_b = train_net(Config(**base, stream=True), store)
+    la = jax.tree_util.tree_leaves(state_a.params)
+    lb = jax.tree_util.tree_leaves(state_b.params)
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(hist_a["train_loss"], hist_b["train_loss"], rtol=1e-5)
+
+
+def test_batched_store_eval_matches_sequential_report():
+    """evaluate_store_batched == evaluate_store for the deterministic model
+    (identical dice tables), including the repeat-padded final group."""
+    task = make_task("unet", n_classes=3, num_filters=(4, 8))
+    s = 12
+    variables = task.init_variables(
+        jax.random.key(0), jnp.zeros((1, s, s, 1)), jnp.zeros((1, s, s, 1), jnp.int32)
+    )
+
+    class FakeStore:
+        images = [RNG.random((s, s, s)).astype(np.float32) for _ in range(3)]
+        labels = [RNG.integers(0, 3, size=(s, s, s)).astype(np.int32) for _ in range(3)]
+        ids = ["a.nii", "b.nii", "c.nii"]
+
+        def __len__(self):
+            return 3
+
+    ev = VolumeEvaluator(task, eval_batch=0)
+    seq = ev.evaluate_store(variables, FakeStore(), key=jax.random.key(1))
+    bat = ev.evaluate_store_batched(
+        variables, FakeStore(), key=jax.random.key(1), volumes_per_batch=2
+    )
+    np.testing.assert_allclose(bat["fused"], seq["fused"], rtol=1e-4, atol=1e-6)
+    for v in range(3):
+        np.testing.assert_allclose(bat["per_view"][v], seq["per_view"][v], rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_cli_stream_and_batched_eval(tmp_path):
+    make_dataset(tmp_path / "data")
+    run_cli(
+        "train.py", "-m", "unet", "-d", str(tmp_path / "data" / "train"),
+        "-e", "1", "-b", "2", "--num-filters", "4,8", "--stream",
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+        cwd=tmp_path,
+    )
+    ck = tmp_path / "ckpt" / "unet_model.pt"
+    assert ck.exists()
+    res = run_cli(
+        "eval.py", "-m", "unet", "-f", str(ck), "-d", str(tmp_path / "data" / "test"),
+        "--eval-mode", "batched", "--eval-volumes-batch", "2",
+        cwd=tmp_path,
+    )
+    assert "avg volume" in res.stdout
+    assert (tmp_path / "predictions" / "image0.nii").exists()
+    assert (tmp_path / "predictions" / "image1.nii").exists()
