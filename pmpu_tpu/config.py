@@ -66,6 +66,8 @@ class Config:
     eval_mode: str = "sequential"  # sequential | batched (vmap volumes for throughput)
     eval_volumes_batch: int = 2  # volumes per vmapped program in batched eval mode
     stream: bool = False  # host-streaming data path (datasets larger than HBM)
+    sharded_volumes: bool = False  # shard the volume pool over the 'data' mesh
+    # axis (n_devices x HBM capacity; shard-local gathers via shard_map)
 
     def resolved_n_classes(self) -> int:
         if self.n_classes is not None:
@@ -165,6 +167,9 @@ def _add_extension_args(p: argparse.ArgumentParser):
     g.add_argument("--stream", dest="stream", action="store_true",
                    help="stream slice batches from host RAM instead of keeping "
                    "the volume stack in HBM (datasets larger than device memory)")
+    g.add_argument("--sharded-volumes", dest="sharded_volumes", action="store_true",
+                   help="shard the volume pool itself over the 'data' mesh axis "
+                   "(each device holds N/n volumes; shard-local gathers)")
 
 
 def config_from_args(args: argparse.Namespace) -> Config:

@@ -80,7 +80,13 @@ class VolumeStore:
 
     @classmethod
     def from_dirs(
-        cls, imgs_dir, masks_dir, dtype=np.float32, use_native: bool | None = None
+        cls,
+        imgs_dir,
+        masks_dir,
+        dtype=np.float32,
+        use_native: bool | None = None,
+        names=None,
+        cube: int | None = None,
     ) -> "VolumeStore":
         """Load a ``{images,labels}`` directory pair (reference data tree
         layout, ``Utils/nii.py:96-105``). File names are shared between the
@@ -88,8 +94,13 @@ class VolumeStore:
 
         ``use_native``: True/False forces the multithreaded C++ loader /
         pure-Python loader; None auto-selects (native when built,
-        behavior-identical — tested)."""
-        ids = sorted(os.listdir(imgs_dir))
+        behavior-identical — tested).
+
+        ``names``: load only these file names (per-host sharded loading —
+        ``pmpu_tpu.parallel.hostdata``). ``cube``: force the pad-to-cube
+        size; pass the GLOBAL max when loading a subset so every host pads
+        identically (default: max over the loaded volumes)."""
+        ids = sorted(os.listdir(imgs_dir)) if names is None else sorted(names)
         if not ids:
             raise FileNotFoundError(f"no volumes in {imgs_dir}")
         img_paths = [os.path.join(imgs_dir, n) for n in ids]
@@ -99,10 +110,10 @@ class VolumeStore:
             from pmpu_tpu.data import native
 
             if native.available():
-                cube = int(max(max(native.read_shape(p)[:3]) for p in img_paths))
-                images = native.load_dataset(img_paths, cube)
-                labels = native.load_dataset(lbl_paths, cube).astype(np.int32)
-                return cls(images=images.astype(dtype, copy=False), labels=labels, ids=ids, cube=cube)
+                c = cube or int(max(max(native.read_shape(p)[:3]) for p in img_paths))
+                images = native.load_dataset(img_paths, c)
+                labels = native.load_dataset(lbl_paths, c).astype(np.int32)
+                return cls(images=images.astype(dtype, copy=False), labels=labels, ids=ids, cube=c)
             if use_native:
                 raise RuntimeError("native io requested but unavailable")
 
@@ -114,10 +125,10 @@ class VolumeStore:
                 raise ValueError(f"{name}: image {img.shape} != label {lbl.shape}")
             imgs.append(img)
             lbls.append(lbl)
-        cube = int(max(max(v.shape) for v in imgs))
-        images = np.stack([pad_to_cube(v, cube) for v in imgs]).astype(dtype)
-        labels = np.stack([pad_to_cube(v, cube) for v in lbls]).astype(np.int32)
-        return cls(images=images, labels=labels, ids=ids, cube=cube)
+        c = cube or int(max(max(v.shape) for v in imgs))
+        images = np.stack([pad_to_cube(v, c) for v in imgs]).astype(dtype)
+        labels = np.stack([pad_to_cube(v, c) for v in lbls]).astype(np.int32)
+        return cls(images=images, labels=labels, ids=ids, cube=c)
 
     @classmethod
     def from_arrays(cls, images, labels, ids=None) -> "VolumeStore":

@@ -103,3 +103,91 @@ def make_dp_train_step(
         ), st_sh
 
     return jit_for
+
+
+def make_hostlocal_dp_train_step(
+    task,
+    tx,
+    mesh: Mesh,
+    acc_steps: int = 1,
+    augment=None,
+    remat: bool = False,
+):
+    """Multi-host data parallelism with HOST-LOCAL volume stacks
+    (SURVEY.md §2.2 DP row: per-host data loading sharded by
+    ``jax.process_index()`` — ``pmpu_tpu.parallel.hostdata``).
+
+    Unlike ``make_dp_train_step`` (global replicated volume stack, only the
+    triple batch sharded), here the (N,S,S,S) volume stack itself is sharded
+    over 'data': each host contributes only the volumes it loaded, and the
+    step runs under ``shard_map`` so every shard's slice gather is purely
+    local — no cross-shard volume traffic ever. Scan indices in the triples
+    are LOCAL to each shard's volume sub-stack. Gradients, BN stats
+    (sync-BN), and metrics all-reduce over 'data' (one psum per step, the
+    only collective).
+
+    signature: step(state, images (N,S,S,S) sharded on N, labels likewise,
+    triples (B,3) sharded on B with shard-local scan ids, key, lr)
+    → (state, metrics); state and outputs replicated.
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # pre-0.8 jax
+        from jax.experimental.shard_map import shard_map
+
+    from pmpu_tpu.data.sampler import sample_batch
+    from pmpu_tpu.train.steps import build_step_fn
+
+    step = build_step_fn(
+        task, tx, acc_steps, sample_batch, augment, remat, pmean_axis="data"
+    )
+    sharded = _shard_map(
+        shard_map,
+        step,
+        mesh,
+        in_specs=(P(), P("data"), P("data"), P("data"), P(), P()),
+        out_specs=(P(), P()),
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def _shard_map(shard_map, f, mesh, in_specs, out_specs):
+    import inspect
+
+    # replication checking kwarg was renamed check_rep → check_vma in jax 0.8
+    sig = inspect.signature(shard_map).parameters
+    kw = {k: False for k in ("check_rep", "check_vma") if k in sig}
+    return shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, **kw)
+
+
+def make_hostlocal_eval_step(task, mesh: Mesh):
+    """Validation twin of ``make_hostlocal_dp_train_step``: per-shard
+    gather + val loss + per-class dice, loss/dice pmean'd over 'data'
+    (a per-shard-dice average — a monitoring statistic, not the exact
+    global-batch dice), preds/img/msk returned as the re-assembled global
+    batch for TB image logging."""
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    from pmpu_tpu.data.sampler import sample_batch
+    from pmpu_tpu.ops.metrics import per_class_dice
+
+    def step(state, images, labels, triples, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+        img, msk = sample_batch(images, labels, triples)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        loss, preds = task.val_loss(variables, img, msk, key)
+        loss = jax.lax.pmean(loss, "data")
+        dice = jax.lax.pmean(per_class_dice(preds, msk, task.n_classes), "data")
+        return loss, dice, preds, img, msk
+
+    sharded = _shard_map(
+        shard_map,
+        step,
+        mesh,
+        in_specs=(P(), P("data"), P("data"), P("data"), P()),
+        out_specs=(P(), P(), P("data"), P("data"), P("data")),
+    )
+    return jax.jit(sharded)

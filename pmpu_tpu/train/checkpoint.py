@@ -111,6 +111,40 @@ def save_checkpoint_orbax(directory: str, state, plateau=None, rng_key=None, ext
         json.dump(meta, f)
 
 
+def save_checkpoint_orbax_async(directory: str, state, plateau=None, rng_key=None, extra=None):
+    """Non-blocking Orbax save of a (possibly multi-host-sharded)
+    TrainState: arrays are handed to Orbax as-is — each process serializes
+    only its addressable shards, and serialization overlaps with the next
+    training steps instead of stalling on a device→host fetch (the fetch is
+    the dominant checkpoint cost on tunneled devices — CLAUDE.md).
+
+    Returns the checkpointer; the caller must ``wait_until_finished()``
+    (or ``close()``) before process exit or the next save to the same
+    directory. Readable by ``load_checkpoint_orbax``."""
+    import json
+
+    import orbax.checkpoint as ocp
+
+    payload = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+    meta = {
+        "plateau": plateau.state_dict() if plateau is not None else None,
+        "rng_key": (np.asarray(jax.random.key_data(rng_key)).tolist() if rng_key is not None else None),
+        "extra": extra or {},
+    }
+    path = os.path.abspath(directory)
+    ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    ckptr.save(os.path.join(path, "state"), payload, force=True)
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return ckptr
+
+
 def load_checkpoint_orbax(directory: str, like_state) -> tuple:
     """Restore an Orbax checkpoint written by ``save_checkpoint_orbax``.
     ``like_state`` provides the target structure/dtypes."""

@@ -54,6 +54,8 @@ def train_net(cfg: Config, store: VolumeStore, interrupt_flag=None):
         enable_nan_checks()
     task = make_task(cfg.net, **cfg.task_kwargs())
     n_classes = task.n_classes
+    if cfg.sharded_volumes and cfg.num_views != 3:
+        raise ValueError("--sharded-volumes requires the 3 standard views")
 
     # --- data -----------------------------------------------------------
     rng = np.random.default_rng(cfg.seed)
@@ -75,6 +77,29 @@ def train_net(cfg: Config, store: VolumeStore, interrupt_flag=None):
         images_d = jax.device_put(jnp.asarray(store.images))
         labels_d = jax.device_put(jnp.asarray(store.labels))
         sampler = make_oblique_sampler(bases)
+    elif cfg.sharded_volumes:
+        # volume pool sharded over the 'data' mesh axis: each device holds
+        # N/n_shards volumes (n× HBM capacity; multi-host: the device-level
+        # face of per-host loading, pmpu_tpu.parallel.hostdata), gathers are
+        # shard-local under shard_map, grads pmean once per step
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from pmpu_tpu.parallel import make_mesh
+
+        if cfg.stream:
+            raise ValueError("--sharded-volumes and --stream are mutually exclusive")
+        sv_mesh = make_mesh(model=1)
+        n_shards = sv_mesh.shape["data"]
+        if len(store) % n_shards:
+            raise ValueError(
+                f"{len(store)} volumes not divisible by {n_shards} devices "
+                "(--sharded-volumes needs equal shards)"
+            )
+        index = build_index_map(store.labels, filter=True)
+        dat = NamedSharding(sv_mesh, P("data"))
+        images_d = jax.device_put(jnp.asarray(store.images), dat)
+        labels_d = jax.device_put(jnp.asarray(store.labels), dat)
+        sampler = None  # gathers happen shard-locally inside the step
     elif cfg.stream:
         # host-streaming path for datasets larger than HBM: slices are
         # gathered on the host (load-once VolumeStore) and double-buffered
@@ -112,8 +137,10 @@ def train_net(cfg: Config, store: VolumeStore, interrupt_flag=None):
         log.info("restricted to views %s: %d slices", cfg.train_views, len(index))
     train_idx, val_idx = split_indices(len(index), cfg.val / 100.0, rng)
 
-    # gradient accumulation: acc_steps=4 iff batch>4 (train.py:45-48)
-    acc_steps = 4 if cfg.batchsize > 4 else 1
+    # gradient accumulation: acc_steps=4 iff batch>4 (train.py:45-48);
+    # with a sharded volume pool the mesh already covers the global batch
+    # (SURVEY §2.2: "bigger global batch across chips (preferred)")
+    acc_steps = 1 if cfg.sharded_volumes else (4 if cfg.batchsize > 4 else 1)
     micro = max(cfg.batchsize // acc_steps, 1)
     per_step = micro * acc_steps
 
@@ -134,7 +161,17 @@ def train_net(cfg: Config, store: VolumeStore, interrupt_flag=None):
         from pmpu_tpu.data.augment import AugmentConfig
 
         aug = AugmentConfig(elastic_alpha=cfg.elastic_alpha)
-    if cfg.data_parallel and jax.device_count() > 1:
+    sv = None
+    if cfg.sharded_volumes:
+        from pmpu_tpu.parallel import make_hostlocal_dp_train_step
+        from pmpu_tpu.parallel.sharding import make_hostlocal_eval_step
+
+        train_step = make_hostlocal_dp_train_step(
+            task, tx, sv_mesh, acc_steps=acc_steps, augment=aug, remat=cfg.remat
+        )
+        eval_step = make_hostlocal_eval_step(task, sv_mesh)
+        log.info("sharded volume pool: %d volumes over %d shards", len(store), n_shards)
+    elif cfg.data_parallel and jax.device_count() > 1:
         # shard the triple batch over a data mesh; XLA inserts the grad psum
         from pmpu_tpu.parallel import make_dp_train_step, make_mesh, shard_state
 
@@ -144,12 +181,13 @@ def train_net(cfg: Config, store: VolumeStore, interrupt_flag=None):
         )
         train_step, st_sh = jit_for(state)
         state = shard_state(state, st_sh)
+        eval_step = make_eval_step(task, sampler=sampler)
         log.info("data-parallel mesh: %s", dict(mesh.shape))
     else:
         train_step = make_train_step(
             task, tx, acc_steps=acc_steps, sampler=sampler, augment=aug, remat=cfg.remat
         )
-    eval_step = make_eval_step(task, sampler=sampler)
+        eval_step = make_eval_step(task, sampler=sampler)
 
     plateau = ReduceLROnPlateau(
         lr=cfg.lr,
@@ -173,6 +211,19 @@ def train_net(cfg: Config, store: VolumeStore, interrupt_flag=None):
     history = {"train_loss": [], "val_loss": [], "val_dice": [], "step_time": []}
     os.makedirs(cfg.checkpoint_dir, exist_ok=True)
 
+    if cfg.sharded_volumes:
+        from pmpu_tpu.parallel.hostdata import ShardedTripleBatcher
+
+        per_shard = max(per_step // n_shards, 1)
+        sv = (
+            dat,
+            ShardedTripleBatcher(index[train_idx], len(store), n_shards),
+            ShardedTripleBatcher(index[val_idx], len(store), n_shards, pad=True)
+            if len(val_idx)
+            else None,
+            per_shard,
+        )
+
     stream_pipe = None
     if cfg.stream and cfg.num_views == 3:
         from pmpu_tpu.data.pipeline import PrefetchPipeline
@@ -190,7 +241,7 @@ def train_net(cfg: Config, store: VolumeStore, interrupt_flag=None):
             state = _run_epochs(
                 cfg, task, latest, train_step, eval_step, plateau, writer, key,
                 images_d, labels_d, index, train_idx, val_idx, rng, per_step,
-                n_classes, history, interrupt_flag, stream_pipe,
+                n_classes, history, interrupt_flag, stream_pipe, sv,
             )
     except KeyboardInterrupt:
         # emergency checkpoint — reference train.py:271-273
@@ -236,7 +287,7 @@ def _stream_rows(per_step):
 def _run_epochs(
     cfg, task, latest, train_step, eval_step, plateau, writer, key,
     images_d, labels_d, index, train_idx, val_idx, rng, per_step,
-    n_classes, history, interrupt_flag, stream_pipe=None,
+    n_classes, history, interrupt_flag, stream_pipe=None, sv=None,
 ):
     state = latest["state"]
     timer = StepTimer(slices_per_step=per_step)
@@ -259,7 +310,16 @@ def _run_epochs(
             writer.scalar("Loss/train", loss, global_step)
             return state
 
-        if stream_pipe is None:
+        if sv is not None:
+            dat, train_batcher, _, per_shard = sv
+            for triples in train_batcher.epoch_batches(per_shard, rng):
+                if interrupt_flag is not None and interrupt_flag():
+                    raise KeyboardInterrupt
+                key, sk = jax.random.split(key)
+                t = jax.device_put(jnp.asarray(triples), dat)
+                state = _train_one(state, (images_d, labels_d, t, sk), global_step)
+                global_step += 1
+        elif stream_pipe is None:
             for i in range(n_steps):
                 if interrupt_flag is not None and interrupt_flag():
                     raise KeyboardInterrupt
@@ -287,26 +347,37 @@ def _run_epochs(
             writer.scalar("perf/slices_per_sec_per_chip", timer.slices_per_sec, global_step)
 
         # ---------------- validation phase ----------------
-        val_steps = max(len(val_idx) // per_step, 1) if len(val_idx) else 0
         loss_sum, dice_sum = 0.0, np.zeros(max(n_classes - 1, 1))
         logged_images = False
-        val_sels = [
-            val_idx[i * per_step : (i + 1) * per_step] for i in range(val_steps)
-        ]
-        val_sels = [s for s in val_sels if len(s)]
-        val_steps = len(val_sels)
-        if stream_pipe is not None:
-            val_stream = stream_pipe.iterate([np.asarray(index[s]) for s in val_sels])
+        if sv is not None:
+            dat, _, val_batcher, per_shard = sv
+            val_batches = (
+                list(val_batcher.epoch_batches(per_shard, np.random.default_rng(0)))
+                if val_batcher is not None
+                else []
+            )
+            val_steps = len(val_batches)
+        else:
+            val_steps = max(len(val_idx) // per_step, 1) if len(val_idx) else 0
+            val_sels = [
+                val_idx[i * per_step : (i + 1) * per_step] for i in range(val_steps)
+            ]
+            val_sels = [s for s in val_sels if len(s)]
+            val_steps = len(val_sels)
+            if stream_pipe is not None:
+                val_stream = stream_pipe.iterate([np.asarray(index[s]) for s in val_sels])
         for i in range(val_steps):
-            sel = val_sels[i]
             key, sk = jax.random.split(key)
-            if stream_pipe is None:
-                triples = jnp.asarray(index[sel])
+            if sv is not None:
+                t = jax.device_put(jnp.asarray(val_batches[i]), dat)
+                vloss, dice, preds, img, msk = eval_step(state, images_d, labels_d, t, sk)
+            elif stream_pipe is None:
+                triples = jnp.asarray(index[val_sels[i]])
                 vloss, dice, preds, img, msk = eval_step(state, images_d, labels_d, triples, sk)
             else:
                 imgs_b, lbls_b = next(val_stream)
                 vloss, dice, preds, img, msk = eval_step(
-                    state, imgs_b, lbls_b, _stream_rows(len(sel)), sk
+                    state, imgs_b, lbls_b, _stream_rows(len(val_sels[i])), sk
                 )
             loss_sum += float(vloss)
             dice_sum += np.asarray(dice)

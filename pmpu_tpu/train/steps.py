@@ -68,10 +68,14 @@ def create_train_state(task, key, sample_img, sample_msk, tx) -> TrainState:
     )
 
 
-def build_step_fn(task, tx, acc_steps: int = 1, sampler=sample_batch, augment=None, remat: bool = False):
+def build_step_fn(
+    task, tx, acc_steps: int = 1, sampler=sample_batch, augment=None,
+    remat: bool = False, pmean_axis: str | None = None,
+):
     """The raw (unjitted) train-step function — shared by the single-device
-    jit (``make_train_step``) and the sharded jit
-    (``pmpu_tpu.parallel.sharding.make_dp_train_step``).
+    jit (``make_train_step``), the sharded jit
+    (``pmpu_tpu.parallel.sharding.make_dp_train_step``), and the
+    host-local shard_map variant (``make_hostlocal_dp_train_step``).
 
     signature: step(state, images, labels, triples, key, lr) → (state, metrics)
 
@@ -84,6 +88,11 @@ def build_step_fn(task, tx, acc_steps: int = 1, sampler=sample_batch, augment=No
     * augment: optional AugmentConfig — on-device augmentation applied to
       each microbatch inside the same XLA program
     * remat: jax.checkpoint the forward (activation memory for FLOPs)
+    * pmean_axis: when run per-shard under shard_map, the mesh axis to
+      all-reduce over — grads/batch_stats/metrics are pmean'd (each
+      shard-microbatch counts as one microbatch, the same convention as
+      grad accumulation; BN becomes sync-BN by averaging) and the PRNG key
+      is folded by the shard index so shards draw independent noise
     """
     if augment is not None:
         from pmpu_tpu.data.augment import augment_batch
@@ -98,6 +107,8 @@ def build_step_fn(task, tx, acc_steps: int = 1, sampler=sample_batch, augment=No
         return loss, grads, new_bstats, aux
 
     def step(state: TrainState, images, labels, triples, key, lr):
+        if pmean_axis is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(pmean_axis))
         micro = triples.shape[0] // acc_steps
         trip = triples.reshape(acc_steps, micro, 3)
         keys = jax.random.split(key, acc_steps)
@@ -117,6 +128,10 @@ def build_step_fn(task, tx, acc_steps: int = 1, sampler=sample_batch, augment=No
             body, (zero_grads, state.batch_stats), (trip, keys)
         )
         grads = jax.tree_util.tree_map(lambda g: g / acc_steps, grads)
+        if pmean_axis is not None:
+            grads = jax.lax.pmean(grads, pmean_axis)
+            batch_stats = jax.lax.pmean(batch_stats, pmean_axis)
+            auxes = jax.lax.pmean(auxes, pmean_axis)
 
         opt_state = set_lr(state.opt_state, lr)
         updates, opt_state = tx.update(grads, opt_state, state.params)
