@@ -94,14 +94,14 @@ class VolumeEvaluator:
                 )
                 zs = loc[None] + scale[None] * eps  # (n_samples, N, latent)
 
-            def decode(z):
-                return net.apply(
-                    variables, out.unet_features, z, method=ProbabilisticUNet.decode
-                )
-
+            # factored multi-sample decode: feature half of fcomb layer 0
+            # runs once for all samples (decode_samples docstring; ~45% of
+            # on-device eval time vs the naive vmap(decode) on v5e)
+            logits = net.apply(
+                variables, out.unet_features, zs, method=ProbabilisticUNet.decode_samples
+            )
             # reference averages the 5 sample logits then softmaxes once
             # (eval.py:148-157)
-            logits = jax.vmap(decode)(zs)
             return logits if per_sample else jnp.mean(logits, axis=0)
         out = self.task.net.apply(variables, x, train=False)
         return out[None] if per_sample else out
@@ -117,10 +117,19 @@ class VolumeEvaluator:
             )
         total = slabs.shape[0]
         if self.eval_batch == 0:
-            # auto: ~192 slices at 128² (measured optimum on v5e: 0.64 s/vol
-            # vs 1.5 s at 96 and 1.95 s whole-slab), scaled by slice area
+            # auto: ~384 slices' worth of 128² activations per chunk
+            # (7-repeat v5e sweep with the factored decode: whole-slab 384
+            # min 0.426/med 0.474 s vs 192 at 0.443/0.543 and padded-256 at
+            # 0.469/0.573), scaled by slice area; prefer a chunk size that
+            # DIVIDES the slab so no padded slices are computed
             s2 = slabs.shape[1] * slabs.shape[2]
-            b = min(total, max(32, (192 * 128 * 128) // max(s2, 1)))
+            target = min(total, max(32, (384 * 128 * 128) // max(s2, 1)))
+            b = max(
+                (d for d in range(1, target + 1) if total % d == 0),
+                default=target,
+            )
+            if b < target // 2:  # awkward totals: padding beats tiny chunks
+                b = target
         elif self.eval_batch < 0:
             b = total
         else:
@@ -209,9 +218,15 @@ class VolumeEvaluator:
         key = key if key is not None else jax.random.key(0)
         outs = self._predict(variables, jnp.asarray(img_vol), key)
         fused = outs[-1]
+        # fetch the segmentation as uint8 (class count < 256): 4× less
+        # device→host traffic — the transfer, not device compute, dominates
+        # per-volume wall-clock on tunneled/PCIe links (docs/PERF.md);
+        # reference export dtype (float32 NIfTI, eval.py:51-57) restored on host
         result = {
             "fused": fused,
-            "argmax": np.asarray(jnp.argmax(fused, axis=-1)).astype(np.float32),
+            "argmax": np.asarray(
+                jnp.argmax(fused, axis=-1).astype(jnp.uint8)
+            ).astype(np.float32),
         }
         if return_views:
             result["views"] = outs[:-1]
@@ -281,7 +296,9 @@ class VolumeEvaluator:
             gkey = jax.random.fold_in(key, g0 // vb)
             out = self.evaluate_volumes_batched(variables, imgs, truths, key=gkey)
             fused = out["fused"]
-            argmax = np.asarray(jnp.argmax(fused, axis=-1)).astype(np.float32)
+            argmax = np.asarray(
+                jnp.argmax(fused, axis=-1).astype(jnp.uint8)
+            ).astype(np.float32)
             for j, i in enumerate(idxs):
                 d = out["dice"][j]
                 for v in range(self.num_views):

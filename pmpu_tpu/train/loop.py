@@ -72,11 +72,28 @@ def train_net(cfg: Config, store: VolumeStore, interrupt_flag=None):
         )
 
         bases = np.stack([view_basis(a) for a in fibonacci_views(cfg.num_views)])
-        table = oblique_nonempty_table(store.labels, bases)
-        index = build_index_map_from_table(table, filter=True)
-        images_d = jax.device_put(jnp.asarray(store.images))
-        labels_d = jax.device_put(jnp.asarray(store.labels))
-        sampler = make_oblique_sampler(bases)
+        if cfg.view_stacks:
+            # rotate-once-then-slice: precompute (V,N,S,S,S) oblique view
+            # stacks so the hot loop's gathers are contiguous plane slices
+            # (bit-identical to the on-the-fly sampler; V×N volumes of HBM)
+            from pmpu_tpu.data.sampler import make_oblique_view_stacks, sample_batch_vt
+
+            images_d, labels_d, table = make_oblique_view_stacks(
+                store.images, store.labels, bases
+            )
+            index = build_index_map_from_table(table, filter=True)
+            sampler = sample_batch_vt
+            log.info(
+                "oblique view stacks: %d views x %d scans precomputed (%.2f GB HBM)",
+                cfg.num_views, len(store),
+                images_d.nbytes * 2 / 1e9,
+            )
+        else:
+            table = oblique_nonempty_table(store.labels, bases)
+            index = build_index_map_from_table(table, filter=True)
+            images_d = jax.device_put(jnp.asarray(store.images))
+            labels_d = jax.device_put(jnp.asarray(store.labels))
+            sampler = make_oblique_sampler(bases)
     elif cfg.sharded_volumes:
         # volume pool sharded over the 'data' mesh axis: each device holds
         # N/n_shards volumes (n× HBM capacity; multi-host: the device-level
@@ -284,6 +301,19 @@ def _stream_rows(per_step):
     return jnp.asarray(np.tile(np.arange(per_step, dtype=np.int32)[:, None], (1, 3)))
 
 
+def _pbar(total, desc):
+    """tqdm progress bar like the reference's (``train.py:72,131``),
+    auto-disabled when stderr is not a terminal (CI/logs stay clean)."""
+    import sys
+
+    from tqdm import tqdm
+
+    return tqdm(
+        total=total, desc=desc, unit="img",
+        disable=not sys.stderr.isatty(), leave=False,
+    )
+
+
 def _run_epochs(
     cfg, task, latest, train_step, eval_step, plateau, writer, key,
     images_d, labels_d, index, train_idx, val_idx, rng, per_step,
@@ -299,6 +329,8 @@ def _run_epochs(
         n_steps = len(order) // per_step
         epoch_losses = []
 
+        pbar = _pbar(len(train_idx), f"Epoch {epoch + 1}/{cfg.epochs}")
+
         def _train_one(state, args, global_step):
             imgs, lbls, triples, sk = args
             timer.start()
@@ -308,6 +340,8 @@ def _run_epochs(
             latest["state"] = state
             epoch_losses.append(loss)
             writer.scalar("Loss/train", loss, global_step)
+            pbar.update(per_step)
+            pbar.set_postfix(loss=f"{loss:.4f}")
             return state
 
         if sv is not None:
@@ -340,6 +374,7 @@ def _run_epochs(
                 key, sk = jax.random.split(key)
                 state = _train_one(state, (imgs, lbls, rows, sk), global_step)
                 global_step += 1
+        pbar.close()
         history["train_loss"].append(float(np.mean(epoch_losses)) if epoch_losses else float("nan"))
         history["perf"] = timer.summary()
         history["step_time"] = [timer.sec_per_step]
@@ -366,6 +401,7 @@ def _run_epochs(
             val_steps = len(val_sels)
             if stream_pipe is not None:
                 val_stream = stream_pipe.iterate([np.asarray(index[s]) for s in val_sels])
+        vbar = _pbar(val_steps * per_step, "Validation round")
         for i in range(val_steps):
             key, sk = jax.random.split(key)
             if sv is not None:
@@ -389,6 +425,8 @@ def _run_epochs(
                 )
                 logged_images = True
             global_step += 1
+            vbar.update(per_step)
+        vbar.close()
 
         if val_steps:
             avg_loss = loss_sum / val_steps

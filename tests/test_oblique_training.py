@@ -85,3 +85,45 @@ def test_six_view_training_smoke():
     )
     state, task, history = train_net(cfg, store)
     assert np.isfinite(history["train_loss"]).all()
+
+
+def test_oblique_view_stacks_bit_identical_to_on_the_fly():
+    """rotate-once-then-slice == sample-per-step: the precomputed stack
+    sampler (sample_batch_vt over make_oblique_view_stacks) must reproduce
+    make_oblique_sampler's outputs — same trilinear at the same coords;
+    images equal to fp32 fusion noise (XLA fuses the vmapped precompute
+    differently than the per-step program), label planes exactly."""
+    from pmpu_tpu.data.sampler import make_oblique_view_stacks, sample_batch_vt
+
+    s, n = 12, 2
+    imgs = RNG.random((n, s, s, s)).astype(np.float32)
+    lbls = RNG.integers(0, 3, size=(n, s, s, s)).astype(np.int32)
+    bases = np.stack([view_basis(a) for a in fibonacci_views(5)])
+
+    vt_i, vt_l, table = make_oblique_view_stacks(imgs, lbls, bases)
+    assert vt_i.shape == (5, n, s, s, s)
+    np.testing.assert_array_equal(
+        table, oblique_nonempty_table(jnp.asarray(lbls), bases)
+    )
+
+    fly = make_oblique_sampler(bases)
+    triples = jnp.asarray(
+        [[0, 0, 3], [1, 2, 7], [0, 4, 0], [1, 1, 11], [0, 3, 5]], jnp.int32
+    )
+    img_a, msk_a = fly(jnp.asarray(imgs), jnp.asarray(lbls), triples)
+    img_b, msk_b = sample_batch_vt(vt_i, vt_l, triples)
+    np.testing.assert_allclose(
+        np.asarray(img_a), np.asarray(img_b), rtol=0, atol=2e-6
+    )
+    np.testing.assert_array_equal(np.asarray(msk_a), np.asarray(msk_b))
+
+
+def test_oblique_training_with_stacks_end_to_end():
+    from pmpu_tpu.train.loop import train_net
+
+    store = make_synthetic_store(n=2, s=12)
+    cfg = Config(net="unet", n_classes=3, num_filters=(4, 8), epochs=1,
+                 batchsize=2, seed=1, save_cp=False, num_views=5,
+                 view_stacks=True)
+    state, task, hist = train_net(cfg, store)
+    assert np.isfinite(hist["train_loss"]).all()
