@@ -63,3 +63,21 @@ def test_pallas_kernel_zero_slice():
     )
     assert np.isfinite(np.asarray(got_i)).all()
     assert np.asarray(got_i).sum() == 0
+
+
+def test_oblique_pallas_interpret_matches_xla():
+    """The committed-negative-result kernel (ops/pallas/oblique_gather.py)
+    is numerically correct in interpret mode — the finding is about Mosaic
+    lowering, not the math."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from pmpu_tpu.data.sampler import oblique_plane, view_basis
+    from pmpu_tpu.ops.pallas.oblique_gather import oblique_plane_pallas
+
+    rng = np.random.default_rng(3)
+    vol = rng.random((16, 16, 16)).astype(np.float32)
+    basis = view_basis([0.3, 0.5, 0.81])
+    got = oblique_plane_pallas(vol, basis, 2.5, interpret=True)
+    want = oblique_plane(jnp.asarray(vol), jnp.asarray(basis), 2.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-6)
