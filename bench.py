@@ -191,6 +191,17 @@ def bench_infer() -> dict:
     sec_min = float(np.min(times))
     sec_med = float(np.median(times))
 
+    # throughput over a pipelined stream of distinct volumes (the reference
+    # eval loop IS a stream over the test set, eval.py:104-216): volume i+1's
+    # program dispatches before volume i's segmentation is fetched, hiding
+    # transfer + dispatch latency under compute; amortized sec/volume
+    stream_n = int(os.environ.get("BENCH_STREAM", "8"))
+    stream_vols = [rng.random((s, s, s)).astype(np.float32) for _ in range(stream_n)]
+    t0 = time.perf_counter()
+    outs = ev.predict_volumes_pipelined(variables, stream_vols, key=jax.random.key(7))
+    stream_s = (time.perf_counter() - t0) / stream_n
+    assert len(outs) == stream_n and outs[-1].shape == (s, s, s)
+
     vs_baseline = None
     base = _load_baseline("reference_cpu.json")
     if (
@@ -211,6 +222,14 @@ def bench_infer() -> dict:
         "min_s": round(sec_min, 4),
         "median_s": round(sec_med, 4),
         "repeat_times_s": [round(t, 4) for t in times],
+        "stream_s_per_volume": round(stream_s, 4),
+        "stream_volumes": stream_n,
+        "stream_vs_baseline": (
+            round(base["sec_per_volume_extrapolated"] / stream_s, 2) if vs_baseline else None
+        ),
+        "stream_mfu": (
+            round(flops / stream_s / 1e12 / peak, 4) if flops and peak else None
+        ),
         "flops_per_volume": flops,
         "achieved_tflops": round(achieved, 4) if achieved else None,
         "peak_tflops": peak,

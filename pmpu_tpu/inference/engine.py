@@ -75,6 +75,11 @@ class VolumeEvaluator:
         self._bases = None if num_views == 3 else jnp.asarray(make_view_bases(num_views))
         self._predict = jax.jit(self._predict_volume)
         self._report = jax.jit(self._dice_report)
+        # final segmentation as uint8 on device (class count < 256): 4× less
+        # device→host traffic than int32/float32 — the transfer, not compute,
+        # dominates per-volume wall-clock on tunneled/PCIe links (docs/PERF.md)
+        self._argmax_u8 = jax.jit(lambda p: jnp.argmax(p, axis=-1).astype(jnp.uint8))
+        self._entropy = jax.jit(lambda p: -jnp.sum(p * jnp.log(p + 1e-12), axis=-1))
 
     # ------------------------------------------------------------------
     def _model_logits(self, variables, x, key, per_sample: bool = False):
@@ -208,30 +213,42 @@ class VolumeEvaluator:
         return jnp.stack(rows)  # (num_views+1, n_classes-1)
 
     # ------------------------------------------------------------------
-    def evaluate_volume(
-        self, variables, img_vol, truth_vol=None, key=None, return_views: bool = True
+    def _dispatch_volume(
+        self, variables, img_vol, truth_vol=None, key=None, want_entropy: bool = False
     ):
-        """Run one volume. Returns dict with 'fused' probs (device array),
-        'argmax' (host float32, reference NIfTI export dtype), 'dice'
-        (num_views+1, C-1) if truth given, and per-view prob volumes when
-        ``return_views`` (drop for large volumes to release HBM early)."""
+        """Enqueue one volume's full pipeline and return DEVICE arrays only
+        (jax dispatch is asynchronous — nothing here blocks). The caller
+        fetches via np.asarray when it wants to synchronize; a software
+        pipeline dispatches volume i+1 before fetching volume i so the
+        device→host transfer and per-program dispatch latency hide under the
+        next volume's compute (see :meth:`evaluate_store`)."""
         key = key if key is not None else jax.random.key(0)
         outs = self._predict(variables, jnp.asarray(img_vol), key)
         fused = outs[-1]
-        # fetch the segmentation as uint8 (class count < 256): 4× less
-        # device→host traffic — the transfer, not device compute, dominates
-        # per-volume wall-clock on tunneled/PCIe links (docs/PERF.md);
-        # reference export dtype (float32 NIfTI, eval.py:51-57) restored on host
+        handle = {"fused": fused, "views": outs[:-1], "argmax_u8": self._argmax_u8(fused)}
+        if truth_vol is not None:
+            handle["dice"] = self._report(outs, jnp.asarray(truth_vol))
+        if want_entropy:
+            handle["entropy"] = self._entropy(fused)
+        return handle
+
+    def evaluate_volume(
+        self, variables, img_vol, truth_vol=None, key=None, return_views: bool = True
+    ):
+        """Run one volume, synchronously. Returns dict with 'fused' probs
+        (device array), 'argmax' (host float32, the reference's NIfTI export
+        dtype, eval.py:51-57 — fetched as uint8, docs/PERF.md), 'dice'
+        (num_views+1, C-1) if truth given, and per-view prob volumes when
+        ``return_views`` (drop for large volumes to release HBM early)."""
+        h = self._dispatch_volume(variables, img_vol, truth_vol, key)
         result = {
-            "fused": fused,
-            "argmax": np.asarray(
-                jnp.argmax(fused, axis=-1).astype(jnp.uint8)
-            ).astype(np.float32),
+            "fused": h["fused"],
+            "argmax": np.asarray(h["argmax_u8"]).astype(np.float32),
         }
         if return_views:
-            result["views"] = outs[:-1]
+            result["views"] = h["views"]
         if truth_vol is not None:
-            result["dice"] = np.asarray(self._report(outs, jnp.asarray(truth_vol)))
+            result["dice"] = np.asarray(h["dice"])
         return result
 
     def evaluate_volumes_batched(self, variables, img_vols, truth_vols=None, key=None):
@@ -276,10 +293,6 @@ class VolumeEvaluator:
         n = len(store)
         per_view = [[] for _ in range(self.num_views)]
         fused_dice = []
-        if uncertainty_dir is not None and not hasattr(self, "_entropy"):
-            self._entropy = jax.jit(
-                lambda p: -jnp.sum(p * jnp.log(p + 1e-12), axis=-1)
-            )
         from pmpu_tpu.data import nifti
         import logging
 
@@ -361,6 +374,7 @@ class VolumeEvaluator:
         key=None,
         save_dir: Optional[str] = None,
         uncertainty_dir: Optional[str] = None,
+        pipeline_depth: int = 2,
     ):
         """Evaluate every volume in a VolumeStore; returns the reference's
         report structure: per-view and fused per-class dice arrays
@@ -371,49 +385,93 @@ class VolumeEvaluator:
         volume this pass already produced (no second model pass; the
         reference has no uncertainty export at all).
 
-        Host↔device overlap: the next volume is uploaded asynchronously
-        before blocking on the current volume's results (jax dispatch is
-        async; only the host-side dice/argmax fetches synchronize)."""
+        ``pipeline_depth``: software pipelining across volumes — volume
+        i+1..i+depth's whole XLA programs are dispatched before volume i's
+        results are fetched, so device→host transfers and per-program
+        dispatch latency overlap the next volume's compute. Results are
+        bit-identical to depth 0 (same per-volume fold_in keys; tested);
+        amortized sec/volume drops toward pure device time on links where
+        transfer/dispatch dominates (docs/PERF.md)."""
         key = key if key is not None else jax.random.key(0)
-        uploads = {0: jax.device_put(jnp.asarray(store.images[0]))} if len(store) else {}
         per_view = [[] for _ in range(self.num_views)]
         fused_dice = []
-        if uncertainty_dir is not None and not hasattr(self, "_entropy"):
-            self._entropy = jax.jit(
-                lambda p: -jnp.sum(p * jnp.log(p + 1e-12), axis=-1)
-            )
-        for i in range(len(store)):
-            if i + 1 < len(store):  # enqueue next upload before blocking
-                uploads[i + 1] = jax.device_put(jnp.asarray(store.images[i + 1]))
-            res = self.evaluate_volume(
-                variables,
-                uploads.pop(i),
-                store.labels[i],
-                jax.random.fold_in(key, i),
-                return_views=False,
-            )
-            d = res["dice"]
+        import logging
+        from collections import deque
+
+        from pmpu_tpu.data import nifti
+
+        logger = logging.getLogger(__name__)
+        n = len(store)
+        depth = max(0, pipeline_depth)
+        pending: deque = deque()
+
+        def drain():
+            i, h = pending.popleft()
+            d = np.asarray(h["dice"])
             for v in range(self.num_views):
                 per_view[v].append(d[v])
             fused_dice.append(d[-1])
-            import logging
-
-            logging.getLogger(__name__).info(
-                "volume %d/%d %s fused dice=%s", i + 1, len(store), store.ids[i],
+            logger.info(
+                "volume %d/%d %s fused dice=%s", i + 1, n, store.ids[i],
                 np.round(d[-1], 4),
             )
             if save_dir:
-                from pmpu_tpu.data import nifti
-
-                nifti.save(f"{save_dir}/{store.ids[i]}", res["argmax"])
-            if uncertainty_dir is not None:
-                from pmpu_tpu.data import nifti
-
-                entropy = np.asarray(self._entropy(res["fused"]))
+                # uint8 fetch; reference export dtype restored (eval.py:51-57)
                 nifti.save(
-                    f"{uncertainty_dir}/{store.ids[i]}", entropy.astype(np.float32)
+                    f"{save_dir}/{store.ids[i]}",
+                    np.asarray(h["argmax_u8"]).astype(np.float32),
                 )
+            if uncertainty_dir is not None:
+                nifti.save(
+                    f"{uncertainty_dir}/{store.ids[i]}",
+                    np.asarray(h["entropy"]).astype(np.float32),
+                )
+
+        for i in range(n):
+            h = self._dispatch_volume(
+                variables,
+                jax.device_put(jnp.asarray(store.images[i])),
+                store.labels[i],
+                jax.random.fold_in(key, i),
+                want_entropy=uncertainty_dir is not None,
+            )
+            h.pop("views", None)  # release per-view HBM as soon as XLA allows
+            pending.append((i, h))
+            while len(pending) > depth:
+                drain()
+        while pending:
+            drain()
         return {
             "per_view": [np.stack(v) for v in per_view],
             "fused": np.stack(fused_dice),
         }
+
+    def predict_volumes_pipelined(self, variables, volumes, key=None, pipeline_depth: int = 2):
+        """Serving/throughput path: fused multi-view segmentation for a
+        stream of volumes with dispatch-ahead/fetch-behind pipelining (no
+        dice/truth). Returns the list of fused argmax volumes as host
+        float32 arrays (reference NIfTI export dtype). Amortized sec/volume
+        over the stream is the number `bench.py` reports as
+        ``stream_s_per_volume``."""
+        key = key if key is not None else jax.random.key(0)
+        from collections import deque
+
+        depth = max(0, pipeline_depth)
+        pending: deque = deque()
+        results = [None] * len(volumes)
+
+        def drain():
+            i, am = pending.popleft()
+            results[i] = np.asarray(am).astype(np.float32)
+
+        for i, vol in enumerate(volumes):
+            h = self._dispatch_volume(
+                variables, jax.device_put(jnp.asarray(vol)),
+                key=jax.random.fold_in(key, i),
+            )
+            pending.append((i, h["argmax_u8"]))
+            while len(pending) > depth:
+                drain()
+        while pending:
+            drain()
+        return results

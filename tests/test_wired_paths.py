@@ -68,6 +68,57 @@ def test_batched_store_eval_matches_sequential_report():
         np.testing.assert_allclose(bat["per_view"][v], seq["per_view"][v], rtol=1e-4, atol=1e-6)
 
 
+def test_pipelined_store_eval_bit_identical(tmp_path):
+    """Dispatch-ahead/fetch-behind pipelining (pipeline_depth>0) must change
+    NOTHING but wall-clock: identical dice tables and identical NIfTI
+    exports (same per-volume fold_in keys) vs the fully-synchronous path,
+    for the probabilistic model (sampled z exercises the key schedule)."""
+    task = make_task("probunet", n_classes=3, num_filters=(4, 8), latent_dim=3)
+    s = 12
+    variables = task.init_variables(
+        jax.random.key(0), jnp.zeros((1, s, s, 1)), jnp.zeros((1, s, s, 1), jnp.int32)
+    )
+
+    class FakeStore:
+        images = [RNG.random((s, s, s)).astype(np.float32) for _ in range(4)]
+        labels = [RNG.integers(0, 3, size=(s, s, s)).astype(np.int32) for _ in range(4)]
+        ids = [f"v{i}.nii" for i in range(4)]
+
+        def __len__(self):
+            return 4
+
+    ev = VolumeEvaluator(task, n_samples=2, eval_batch=0)
+    d0 = tmp_path / "sync"
+    d1 = tmp_path / "piped"
+    u0 = tmp_path / "unc_sync"
+    u1 = tmp_path / "unc_piped"
+    for d in (d0, d1, u0, u1):
+        d.mkdir()
+    seq = ev.evaluate_store(
+        variables, FakeStore(), key=jax.random.key(1),
+        save_dir=str(d0), uncertainty_dir=str(u0), pipeline_depth=0,
+    )
+    pip = ev.evaluate_store(
+        variables, FakeStore(), key=jax.random.key(1),
+        save_dir=str(d1), uncertainty_dir=str(u1), pipeline_depth=3,
+    )
+    np.testing.assert_array_equal(pip["fused"], seq["fused"])
+    for v in range(3):
+        np.testing.assert_array_equal(pip["per_view"][v], seq["per_view"][v])
+    from pmpu_tpu.data import nifti
+
+    for name in FakeStore.ids:
+        np.testing.assert_array_equal(nifti.load(str(d1 / name)), nifti.load(str(d0 / name)))
+        np.testing.assert_array_equal(nifti.load(str(u1 / name)), nifti.load(str(u0 / name)))
+
+    # the serving path returns the same fused argmax volumes
+    stream = ev.predict_volumes_pipelined(
+        variables, FakeStore.images, key=jax.random.key(1), pipeline_depth=2
+    )
+    for i, seg in enumerate(stream):
+        np.testing.assert_array_equal(seg, nifti.load(str(d0 / FakeStore.ids[i])))
+
+
 @pytest.mark.slow
 def test_cli_stream_and_batched_eval(tmp_path):
     make_dataset(tmp_path / "data")
