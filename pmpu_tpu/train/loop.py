@@ -331,17 +331,29 @@ def _run_epochs(
 
         pbar = _pbar(len(train_idx), f"Epoch {epoch + 1}/{cfg.epochs}")
 
+        # deferred metric fetch: step i's loss is fetched AFTER step i+1 is
+        # dispatched, so the scalar device→host round-trip (expensive on
+        # tunneled links) overlaps the next step's compute. Values, order,
+        # and TB step numbers are unchanged — only the sync point moves.
+        pending_metrics = []
+
+        def _drain_metrics():
+            gs, m = pending_metrics.pop(0)
+            loss = float(m["loss"])  # host sync: that step is complete
+            epoch_losses.append(loss)
+            writer.scalar("Loss/train", loss, gs)
+            pbar.update(per_step)
+            pbar.set_postfix(loss=f"{loss:.4f}")
+
         def _train_one(state, args, global_step):
             imgs, lbls, triples, sk = args
             timer.start()
             state, metrics = train_step(state, imgs, lbls, triples, sk, plateau.lr)
-            loss = float(metrics["loss"])  # host sync: step complete
-            timer.stop()
             latest["state"] = state
-            epoch_losses.append(loss)
-            writer.scalar("Loss/train", loss, global_step)
-            pbar.update(per_step)
-            pbar.set_postfix(loss=f"{loss:.4f}")
+            pending_metrics.append((global_step, metrics))
+            while len(pending_metrics) > 1:
+                _drain_metrics()
+            timer.stop()
             return state
 
         if sv is not None:
@@ -374,6 +386,8 @@ def _run_epochs(
                 key, sk = jax.random.split(key)
                 state = _train_one(state, (imgs, lbls, rows, sk), global_step)
                 global_step += 1
+        while pending_metrics:
+            _drain_metrics()
         pbar.close()
         history["train_loss"].append(float(np.mean(epoch_losses)) if epoch_losses else float("nan"))
         history["perf"] = timer.summary()
