@@ -446,13 +446,18 @@ class VolumeEvaluator:
             "fused": np.stack(fused_dice),
         }
 
-    def predict_volumes_pipelined(self, variables, volumes, key=None, pipeline_depth: int = 2):
+    def predict_volumes_pipelined(
+        self, variables, volumes, key=None, pipeline_depth: int = 2,
+        want_entropy: bool = False,
+    ):
         """Serving/throughput path: fused multi-view segmentation for a
         stream of volumes with dispatch-ahead/fetch-behind pipelining (no
         dice/truth). Returns the list of fused argmax volumes as host
-        float32 arrays (reference NIfTI export dtype). Amortized sec/volume
-        over the stream is the number `bench.py` reports as
-        ``stream_s_per_volume``."""
+        float32 arrays (reference NIfTI export dtype) — or, with
+        ``want_entropy``, a list of (argmax, entropy) float32 pairs
+        (predictive entropy of the same fused volume; no extra model pass).
+        Amortized sec/volume over the stream is the number `bench.py`
+        reports as ``stream_s_per_volume``."""
         key = key if key is not None else jax.random.key(0)
         from collections import deque
 
@@ -461,15 +466,16 @@ class VolumeEvaluator:
         results = [None] * len(volumes)
 
         def drain():
-            i, am = pending.popleft()
-            results[i] = np.asarray(am).astype(np.float32)
+            i, am, ent = pending.popleft()
+            seg = np.asarray(am).astype(np.float32)
+            results[i] = seg if ent is None else (seg, np.asarray(ent).astype(np.float32))
 
         for i, vol in enumerate(volumes):
             h = self._dispatch_volume(
                 variables, jax.device_put(jnp.asarray(vol)),
-                key=jax.random.fold_in(key, i),
+                key=jax.random.fold_in(key, i), want_entropy=want_entropy,
             )
-            pending.append((i, h["argmax_u8"]))
+            pending.append((i, h["argmax_u8"], h.get("entropy")))
             while len(pending) > depth:
                 drain()
         while pending:

@@ -1,17 +1,23 @@
 #!/usr/bin/env python
-"""Predict CLI — single-volume segmentation.
+"""Predict CLI — single-volume or batch segmentation.
 
 The reference's ``predict.py`` is truncated/dead (19 lines, dangling
 ``net.sample`` — SURVEY.md §0); this completes its evident intent: load a
-checkpoint, segment one NIfTI volume with multi-view fusion (probunet:
+checkpoint, segment NIfTI volumes with multi-view fusion (probunet:
 N prior samples), and save the fused argmax segmentation (plus optional
 per-voxel uncertainty map).
 
     python predict.py -m probunet -f ckpt.pt -i scan.nii -o seg.nii
-"""
+    python predict.py -m probunet -f ckpt.pt -i scans_dir/ -o segs_dir/
+
+With a directory input every volume is padded to the common cube (one
+program shape serves the whole batch) and the stream runs through the
+pipelined serving path (``predict_volumes_pipelined``: volume i+1's XLA
+program dispatches before volume i's results are fetched)."""
 
 import argparse
 import logging
+import os
 import sys
 
 import numpy as np
@@ -30,9 +36,14 @@ def get_args():
     )
     p.add_argument("-f", "--load", dest="load", type=str, default=None, help="checkpoint")
     p.add_argument("-m", "--model", dest="net", type=str, default="unet")
-    p.add_argument("-i", "--input", dest="input", type=str, required=True, help="input .nii[.gz]")
-    p.add_argument("-o", "--output", dest="output", type=str, default="prediction.nii")
-    p.add_argument("--uncertainty", type=str, default=None, help="also save entropy map .nii")
+    p.add_argument("-i", "--input", dest="input", type=str, required=True,
+                   help="input .nii[.gz], or a directory of them (batch mode)")
+    p.add_argument("-o", "--output", dest="output", type=str, default="prediction.nii",
+                   help="output .nii (or directory in batch mode)")
+    p.add_argument("--uncertainty", type=str, default=None,
+                   help="also save entropy map .nii (or directory in batch mode)")
+    p.add_argument("--pipeline-depth", type=int, default=2,
+                   help="batch mode: volumes dispatched ahead of the fetch")
     p.add_argument("--eval-samples", dest="eval_samples", type=int, default=5)
     p.add_argument("--eval-batch", dest="eval_batch", type=int, default=0)
     p.add_argument("--num-views", dest="num_views", type=int, default=3)
@@ -48,8 +59,20 @@ def main() -> int:
                  num_views=args.num_views, seed=args.seed)
     task = None if args.load else make_task(cfg.net, **cfg.task_kwargs())
 
-    vol = pad_to_cube(nifti.load(args.input))
-    logging.info("input %s → cube %s", args.input, vol.shape)
+    if os.path.isdir(args.input):
+        names = sorted(os.listdir(args.input))
+        if not names:
+            logging.error("no volumes in %s", args.input)
+            return 1
+        raw = [nifti.load(os.path.join(args.input, n)) for n in names]
+        cube = max(max(v.shape) for v in raw)
+        vols = [pad_to_cube(v, cube) for v in raw]
+        vol = vols[0]
+        logging.info("batch input %s: %d volumes → cube %d", args.input, len(vols), cube)
+    else:
+        names = None
+        vol = pad_to_cube(nifti.load(args.input))
+        logging.info("input %s → cube %s", args.input, vol.shape)
 
     import jax
     import jax.numpy as jnp
@@ -71,6 +94,21 @@ def main() -> int:
         eval_batch=cfg.eval_batch,
         num_views=cfg.num_views,
     )
+    if names is not None:  # batch mode: pipelined serving stream
+        os.makedirs(args.output, exist_ok=True)
+        if args.uncertainty:
+            os.makedirs(args.uncertainty, exist_ok=True)
+        outs = ev.predict_volumes_pipelined(
+            variables, vols, key=jax.random.key(args.seed),
+            pipeline_depth=args.pipeline_depth, want_entropy=bool(args.uncertainty),
+        )
+        for n, out in zip(names, outs):
+            seg, ent = out if args.uncertainty else (out, None)
+            nifti.save(os.path.join(args.output, n), seg)
+            if ent is not None:
+                nifti.save(os.path.join(args.uncertainty, n), ent)
+        logging.info("saved %d segmentations to %s", len(names), args.output)
+        return 0
     res = ev.evaluate_volume(variables, vol, key=jax.random.key(args.seed))
     nifti.save(args.output, res["argmax"].astype(np.float32))
     logging.info("saved %s", args.output)

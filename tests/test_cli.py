@@ -87,6 +87,41 @@ def test_cli_train_eval_predict_roundtrip(tmp_path):
 
 
 @pytest.mark.slow
+def test_cli_batch_predict_matches_per_file(tmp_path):
+    """Directory input routes predict.py through the pipelined serving
+    stream (predict_volumes_pipelined). For the deterministic unet the
+    segmentation is key-independent, so batch-mode outputs must equal the
+    single-file mode's bit-for-bit; entropy maps must be finite."""
+    make_dataset(tmp_path / "data")
+    imgs = tmp_path / "data" / "test" / "images"
+    run_cli(
+        "train.py", "-m", "unet", "-d", str(tmp_path / "data" / "train"),
+        "-e", "1", "-b", "2", "--num-filters", "4,8",
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+        cwd=tmp_path,
+    )
+    ck = tmp_path / "ckpt" / "unet_model.pt"
+    run_cli(
+        "predict.py", "-m", "unet", "-f", str(ck), "-i", str(imgs),
+        "-o", str(tmp_path / "segs"), "--uncertainty", str(tmp_path / "uncs"),
+        cwd=tmp_path,
+    )
+    for i in range(2):
+        assert (tmp_path / "segs" / f"image{i}.nii").exists()
+        unc = nifti.load(tmp_path / "uncs" / f"image{i}.nii")
+        assert np.isfinite(unc).all()
+    run_cli(
+        "predict.py", "-m", "unet", "-f", str(ck),
+        "-i", str(imgs / "image0.nii"), "-o", str(tmp_path / "single.nii"),
+        cwd=tmp_path,
+    )
+    np.testing.assert_array_equal(
+        nifti.load(tmp_path / "segs" / "image0.nii"),
+        nifti.load(tmp_path / "single.nii"),
+    )
+
+
+@pytest.mark.slow
 def test_cli_train_unet_binary(tmp_path):
     make_dataset(tmp_path / "data")
     run_cli(
