@@ -164,6 +164,10 @@ def bench_infer() -> dict:
     import jax
     import jax.numpy as jnp
 
+    from pmpu_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()  # $PMPU_COMPILE_CACHE only; no-op otherwise
+
     from pmpu_tpu.inference.engine import VolumeEvaluator
     from pmpu_tpu.train.tasks import make_task
 

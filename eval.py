@@ -35,6 +35,10 @@ def main() -> int:
     cfg = config_from_args(args)
     print(BANNER)
 
+    from pmpu_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache(cfg.compile_cache)
+
     if cfg.dir is None:
         parser.error("-d/--dir DATA_DIR is required")
     # eval constructs both models with n_classes=3 (reference eval.py:85-88)

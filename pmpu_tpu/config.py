@@ -66,6 +66,8 @@ class Config:
     eval_mode: str = "sequential"  # sequential | batched (vmap volumes for throughput)
     eval_volumes_batch: int = 2  # volumes per vmapped program in batched eval mode
     stream: bool = False  # host-streaming data path (datasets larger than HBM)
+    compile_cache: Optional[str] = None  # persistent XLA compile cache dir
+    # (default $PMPU_COMPILE_CACHE; cold 128³ compile ~20-40 s → warm <1 s)
     sharded_volumes: bool = False  # shard the volume pool over the 'data' mesh
     # axis (n_devices x HBM capacity; shard-local gathers via shard_map)
 
@@ -170,6 +172,9 @@ def _add_extension_args(p: argparse.ArgumentParser):
     g.add_argument("--sharded-volumes", dest="sharded_volumes", action="store_true",
                    help="shard the volume pool itself over the 'data' mesh axis "
                    "(each device holds N/n volumes; shard-local gathers)")
+    g.add_argument("--compile-cache", dest="compile_cache", type=str, default=None,
+                   help="persistent XLA compilation cache dir (also "
+                   "$PMPU_COMPILE_CACHE); warm restarts skip the 20-40 s compile")
 
 
 def config_from_args(args: argparse.Namespace) -> Config:

@@ -43,6 +43,24 @@ def scope(name: str):
     return jax.named_scope(name)
 
 
+def enable_compile_cache(path: str | None = None) -> bool:
+    """Persistent XLA compilation cache — production restart latency: the
+    128³ whole-volume program compiles ~20–40 s cold and loads in <1 s from
+    the cache on the next process. ``path`` defaults to $PMPU_COMPILE_CACHE;
+    no-op (returns False) when neither is given. Thresholds are zeroed so
+    every program is cached (the default skips fast-compiling programs)."""
+    import os
+
+    path = path or os.environ.get("PMPU_COMPILE_CACHE")
+    if not path:
+        return False
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    return True
+
+
 def enable_nan_checks(enabled: bool = True):
     """Turn on jax_debug_nans: any NaN produced under jit raises with the
     offending primitive (gated by --nan-checks)."""

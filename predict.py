@@ -44,6 +44,8 @@ def get_args():
                    help="also save entropy map .nii (or directory in batch mode)")
     p.add_argument("--pipeline-depth", type=int, default=2,
                    help="batch mode: volumes dispatched ahead of the fetch")
+    p.add_argument("--compile-cache", dest="compile_cache", type=str, default=None,
+                   help="persistent XLA compile cache dir (also $PMPU_COMPILE_CACHE)")
     p.add_argument("--eval-samples", dest="eval_samples", type=int, default=5)
     p.add_argument("--eval-batch", dest="eval_batch", type=int, default=0)
     p.add_argument("--num-views", dest="num_views", type=int, default=3)
@@ -54,6 +56,9 @@ def get_args():
 def main() -> int:
     logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
     args = get_args()
+    from pmpu_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache(args.compile_cache)
     cfg = Config(net=args.net, n_classes=3, load=args.load,
                  eval_samples=args.eval_samples, eval_batch=args.eval_batch,
                  num_views=args.num_views, seed=args.seed)

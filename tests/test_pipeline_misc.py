@@ -130,3 +130,33 @@ def test_metric_writer_history_and_schema(tmp_path):
     import os
 
     assert any(os.scandir(tmp_path / "tb"))  # event file written
+
+
+def test_compile_cache_populates_and_flag_parses(tmp_path):
+    """--compile-cache / $PMPU_COMPILE_CACHE: the persistent XLA compilation
+    cache gets entries for newly-jitted programs (warm restarts then load
+    instead of recompiling)."""
+    import argparse
+    import os
+
+    from pmpu_tpu.config import add_eval_args, config_from_args
+    from pmpu_tpu.utils.profiling import enable_compile_cache
+
+    args = add_eval_args(argparse.ArgumentParser()).parse_args(
+        ["--compile-cache", str(tmp_path / "xc")]
+    )
+    cfg = config_from_args(args)
+    assert cfg.compile_cache == str(tmp_path / "xc")
+
+    assert not enable_compile_cache(None) or os.environ.get("PMPU_COMPILE_CACHE")
+    assert enable_compile_cache(cfg.compile_cache)
+    try:
+        f = jax.jit(lambda x: x * 3.0 + jnp.sin(x))
+        np.testing.assert_allclose(
+            np.asarray(f(jnp.arange(5.0))), np.arange(5.0) * 3 + np.sin(np.arange(5.0)),
+            rtol=1e-6,
+        )
+        assert any(os.scandir(tmp_path / "xc"))  # cache entry written
+    finally:  # restore defaults so later tests don't write into tmp_path
+        jax.config.update("jax_compilation_cache_dir", None)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -28,6 +28,10 @@ def main() -> int:
     args = add_train_args(parser).parse_args()
     cfg = config_from_args(args)
 
+    from pmpu_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache(cfg.compile_cache)
+
     if cfg.dir is None:
         parser.error("-d/--dir DATA_DIR is required (reference default paths were hardcoded)")
     dir_img = os.path.join(cfg.dir, "images")
