@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""Serving CLI — watch a directory, segment volumes as they arrive.
+
+A production front-end over the pipelined inference engine (no reference
+counterpart; the reference's ``predict.py`` is truncated/dead, SURVEY.md
+§0): new ``.nii[.gz]`` files in ``--watch`` are padded to a fixed cube (one
+XLA program shape serves the whole stream), segmented with fused multi-view
+inference via ``predict_volumes_pipelined`` (volume i+1's program dispatches
+before volume i's results are fetched), and written to ``--out`` with
+optional per-voxel entropy maps. With ``--compile-cache`` a restarted
+server skips the 20–40 s program compile.
+
+    python serve.py -m probunet -f ckpt.pt --watch incoming/ --out segs/ \
+        [--uncertainty unc/] [--cube 128] [--poll 1.0] [--once]
+
+``--once`` processes the current directory contents and exits (batch jobs,
+tests). Files are picked up when their size is stable across two scans
+(half-written uploads are left alone).
+"""
+
+import argparse
+import logging
+import os
+import sys
+import time
+
+import numpy as np
+
+from pmpu_tpu.config import Config
+from pmpu_tpu.data import nifti
+from pmpu_tpu.data.volumes import pad_to_cube
+from pmpu_tpu.inference.engine import VolumeEvaluator
+from pmpu_tpu.train.tasks import make_task
+
+
+def get_args():
+    p = argparse.ArgumentParser(
+        description="Serve segmentations for a directory of incoming volumes",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p.add_argument("-f", "--load", dest="load", type=str, default=None, help="checkpoint")
+    p.add_argument("-m", "--model", dest="net", type=str, default="probunet")
+    p.add_argument("--watch", type=str, required=True, help="input directory to poll")
+    p.add_argument("--out", type=str, required=True, help="segmentation output directory")
+    p.add_argument("--uncertainty", type=str, default=None, help="entropy map directory")
+    p.add_argument("--cube", type=int, default=0,
+                   help="pad-to-cube size (0 = size of the first volume seen); "
+                   "inputs larger than this are rejected")
+    p.add_argument("--poll", type=float, default=1.0, help="directory scan interval (s)")
+    p.add_argument("--once", action="store_true", help="process current contents and exit")
+    p.add_argument("--pipeline-depth", type=int, default=2)
+    p.add_argument("--eval-samples", dest="eval_samples", type=int, default=5)
+    p.add_argument("--eval-batch", dest="eval_batch", type=int, default=0)
+    p.add_argument("--num-views", dest="num_views", type=int, default=3)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--compile-cache", dest="compile_cache", type=str, default=None)
+    return p.parse_args()
+
+
+def _stable_new_files(watch, seen, sizes):
+    """Names whose size is unchanged since the previous scan (upload done)."""
+    ready = []
+    for n in sorted(os.listdir(watch)):
+        if n in seen or not (n.endswith(".nii") or n.endswith(".nii.gz")):
+            continue
+        sz = os.path.getsize(os.path.join(watch, n))
+        if sizes.get(n) == sz:
+            ready.append(n)
+        sizes[n] = sz
+    return ready
+
+
+def main() -> int:
+    logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
+    args = get_args()
+    from pmpu_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache(args.compile_cache)
+
+    cfg = Config(net=args.net, n_classes=3, load=args.load,
+                 eval_samples=args.eval_samples, eval_batch=args.eval_batch,
+                 num_views=args.num_views, seed=args.seed)
+
+    import jax
+    import jax.numpy as jnp
+
+    if args.load:
+        from pmpu_tpu.train.checkpoint import load_for_inference
+
+        task, variables, cfg = load_for_inference(args.load, cfg)
+    else:
+        logging.warning("no checkpoint: serving an untrained model")
+        task = make_task(cfg.net, **cfg.task_kwargs())
+        variables = None  # initialized once the cube is known
+
+    ev = VolumeEvaluator(
+        task,
+        n_samples=cfg.eval_samples if cfg.net == "probunet" else 1,
+        eval_batch=cfg.eval_batch,
+        num_views=cfg.num_views,
+    )
+    os.makedirs(args.out, exist_ok=True)
+    if args.uncertainty:
+        os.makedirs(args.uncertainty, exist_ok=True)
+
+    cube = args.cube
+    seen: set = set()
+    sizes: dict = {}
+    key = None
+    served = 0
+    logging.info("serving %s → %s (poll %.1fs)", args.watch, args.out, args.poll)
+    while True:
+        if args.once:  # single scan: everything already on disk is "stable"
+            ready = [n for n in sorted(os.listdir(args.watch))
+                     if n not in seen and (n.endswith(".nii") or n.endswith(".nii.gz"))]
+        else:
+            ready = _stable_new_files(args.watch, seen, sizes)
+        if ready:
+            vols, names = [], []
+            for n in ready:
+                try:
+                    v = nifti.load(os.path.join(args.watch, n))
+                except Exception as e:  # unreadable upload: skip, retry next scan
+                    logging.warning("skipping %s: %s", n, e)
+                    continue
+                if cube == 0:
+                    cube = int(max(v.shape))
+                    logging.info("program cube fixed at %d from %s", cube, n)
+                if max(v.shape) > cube:
+                    logging.error("%s exceeds cube %d; rejected", n, cube)
+                    seen.add(n)
+                    continue
+                vols.append(pad_to_cube(v, cube))
+                names.append(n)
+                seen.add(n)
+            if vols:
+                if variables is None:
+                    variables = task.init_variables(
+                        jax.random.key(cfg.seed),
+                        jnp.zeros((1, cube, cube, 1)),
+                        jnp.zeros((1, cube, cube, 1), jnp.int32),
+                    )
+                if key is None:
+                    key = jax.random.key(cfg.seed)
+                t0 = time.perf_counter()
+                outs = ev.predict_volumes_pipelined(
+                    variables, vols, key=jax.random.fold_in(key, served),
+                    pipeline_depth=args.pipeline_depth,
+                    want_entropy=bool(args.uncertainty),
+                )
+                dt = time.perf_counter() - t0
+                for n, out in zip(names, outs):
+                    seg, ent = out if args.uncertainty else (out, None)
+                    nifti.save(os.path.join(args.out, n), seg)
+                    if ent is not None:
+                        nifti.save(os.path.join(args.uncertainty, n), ent)
+                served += len(names)
+                logging.info(
+                    "served %d volumes in %.2fs (%.2f s/volume, %d total)",
+                    len(names), dt, dt / len(names), served,
+                )
+        if args.once:
+            break
+        time.sleep(args.poll)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

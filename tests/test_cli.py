@@ -122,6 +122,39 @@ def test_cli_batch_predict_matches_per_file(tmp_path):
 
 
 @pytest.mark.slow
+def test_cli_serve_once_matches_batch_predict(tmp_path):
+    """serve.py --once processes a directory through the same pipelined
+    engine as batch predict.py; deterministic unet → identical outputs."""
+    make_dataset(tmp_path / "data")
+    imgs = tmp_path / "data" / "test" / "images"
+    run_cli(
+        "train.py", "-m", "unet", "-d", str(tmp_path / "data" / "train"),
+        "-e", "1", "-b", "2", "--num-filters", "4,8",
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+        cwd=tmp_path,
+    )
+    ck = tmp_path / "ckpt" / "unet_model.pt"
+    res = run_cli(
+        "serve.py", "-m", "unet", "-f", str(ck), "--watch", str(imgs),
+        "--out", str(tmp_path / "served"), "--uncertainty", str(tmp_path / "served_unc"),
+        "--once",
+        cwd=tmp_path,
+    )
+    assert "served 2 volumes" in res.stderr + res.stdout
+    run_cli(
+        "predict.py", "-m", "unet", "-f", str(ck), "-i", str(imgs),
+        "-o", str(tmp_path / "segs"),
+        cwd=tmp_path,
+    )
+    for i in range(2):
+        np.testing.assert_array_equal(
+            nifti.load(tmp_path / "served" / f"image{i}.nii"),
+            nifti.load(tmp_path / "segs" / f"image{i}.nii"),
+        )
+        assert np.isfinite(nifti.load(tmp_path / "served_unc" / f"image{i}.nii")).all()
+
+
+@pytest.mark.slow
 def test_cli_train_unet_binary(tmp_path):
     make_dataset(tmp_path / "data")
     run_cli(
