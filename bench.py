@@ -52,7 +52,7 @@ import numpy as np
 CUBE = int(os.environ.get("BENCH_CUBE", "128"))
 SAMPLES = int(os.environ.get("BENCH_SAMPLES", "5"))
 EVAL_BATCH = int(os.environ.get("BENCH_EVAL_BATCH", "0"))  # 0 = auto (divisor heuristic)
-REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
+REPEATS = int(os.environ.get("BENCH_REPEATS", "5"))
 BF16 = os.environ.get("BENCH_BF16", "1") == "1"
 MODE = os.environ.get("BENCH_MODE", "infer")  # infer | train
 SKIP_TRAIN = os.environ.get("BENCH_SKIP_TRAIN", "0") == "1"

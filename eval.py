@@ -91,6 +91,7 @@ def main() -> int:
         report = evaluator.evaluate_store(
             variables, store, key=jax.random.key(cfg.seed), save_dir="predictions",
             uncertainty_dir=cfg.save_uncertainty,
+            pipeline_depth=cfg.pipeline_depth,
         )
     if cfg.save_uncertainty:
         logging.info("wrote uncertainty maps to %s", cfg.save_uncertainty)

@@ -68,6 +68,8 @@ class Config:
     stream: bool = False  # host-streaming data path (datasets larger than HBM)
     compile_cache: Optional[str] = None  # persistent XLA compile cache dir
     # (default $PMPU_COMPILE_CACHE; cold 128³ compile ~20-40 s → warm <1 s)
+    pipeline_depth: int = 2  # eval: volumes dispatched ahead of the fetch
+    # (dispatch-ahead/fetch-behind; 0 = fully synchronous, bit-identical)
     sharded_volumes: bool = False  # shard the volume pool over the 'data' mesh
     # axis (n_devices x HBM capacity; shard-local gathers via shard_map)
 
@@ -175,6 +177,9 @@ def _add_extension_args(p: argparse.ArgumentParser):
     g.add_argument("--compile-cache", dest="compile_cache", type=str, default=None,
                    help="persistent XLA compilation cache dir (also "
                    "$PMPU_COMPILE_CACHE); warm restarts skip the 20-40 s compile")
+    g.add_argument("--pipeline-depth", dest="pipeline_depth", type=int, default=2,
+                   help="eval: volumes dispatched ahead of the result fetch "
+                   "(0 = synchronous; results are bit-identical either way)")
 
 
 def config_from_args(args: argparse.Namespace) -> Config:
