@@ -100,9 +100,11 @@ def _load_baseline(name: str):
 
 def bench_train() -> dict:
     """Secondary metric: train slices/sec/chip (BASELINE.md) — flagship
-    probunet, batch 32 slices/step, bf16 compute, remat off. Control:
-    the reference's train step (fwd+bwd of all 3 towers, SGD, batch 2)
-    measured on CPU by ``tools/measure_baseline.py --mode train``."""
+    probunet, batch 128 slices/step (measured v5e optimum: 548 slices/s
+    at batch 32 → 755 at batch 128; batch 256 plateaus at 750), bf16
+    compute, remat off. Control: the reference's train step (fwd+bwd of
+    all 3 towers, SGD, batch 2) measured on CPU by
+    ``tools/measure_baseline.py --mode train``."""
     import jax
     import jax.numpy as jnp
 
@@ -113,7 +115,7 @@ def bench_train() -> dict:
     from pmpu_tpu.train.tasks import make_task
 
     s = CUBE
-    batch = int(os.environ.get("BENCH_TRAIN_BATCH", "32"))
+    batch = int(os.environ.get("BENCH_TRAIN_BATCH", "128"))
     rng = np.random.default_rng(0)
     imgs = rng.random((2, s, s, s)).astype(np.float32)
     lbls = rng.integers(0, 3, size=(2, s, s, s)).astype(np.int32)
