@@ -182,3 +182,67 @@ def save(path, data: np.ndarray, affine: np.ndarray | None = None) -> None:
     Path(path).parent.mkdir(parents=True, exist_ok=True)
     with _open(path, "wb") as f:
         f.write(payload)
+
+
+class AsyncWriter:
+    """Background-thread NIfTI exporter for the eval/serving hot loops.
+
+    ``save`` enqueues a write and returns immediately, so disk IO (and gzip
+    compression for ``.nii.gz``) overlaps the next volume's device fetch and
+    compute instead of sitting on the critical path between fetches. The
+    reference writes synchronously inside its eval loop (``eval.py:194``).
+
+    ``close()`` drains the queue, joins the thread, and re-raises the first
+    write error; also usable as a context manager. ``max_pending`` bounds
+    host memory held by queued arrays (back-pressure via a blocking put).
+    """
+
+    def __init__(self, max_pending: int = 8):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=max_pending)
+        self._err: Exception | None = None
+        self._thread = threading.Thread(
+            target=self._run, name="pmpu-nifti-writer", daemon=True
+        )
+        self._thread.start()
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            try:
+                if item is None:
+                    return
+                path, data, affine = item
+                if self._err is None:  # first error wins; drain the rest
+                    save(path, data, affine)
+            except Exception as e:
+                self._err = e
+            finally:
+                self._q.task_done()
+
+    def save(self, path, data: np.ndarray, affine: np.ndarray | None = None) -> None:
+        if self._err is not None:
+            raise self._err
+        self._q.put((path, np.asarray(data), affine))
+
+    def close(self) -> None:
+        if self._thread.is_alive():
+            self._q.put(None)
+            self._thread.join()
+        if self._err is not None:
+            raise self._err
+
+    def __enter__(self) -> "AsyncWriter":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        # don't mask an in-flight exception with a write error
+        if exc and exc[0] is not None:
+            try:
+                self.close()
+            except Exception:
+                pass
+        else:
+            self.close()

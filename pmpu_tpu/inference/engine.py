@@ -293,10 +293,30 @@ class VolumeEvaluator:
         n = len(store)
         per_view = [[] for _ in range(self.num_views)]
         fused_dice = []
+        from contextlib import nullcontext
+
         from pmpu_tpu.data import nifti
         import logging
 
         logger = logging.getLogger(__name__)
+        writer_cm = (
+            nifti.AsyncWriter() if (save_dir or uncertainty_dir) else nullcontext()
+        )
+        with writer_cm as writer:
+            self._store_batched_groups(
+                variables, store, key, save_dir, uncertainty_dir, vb,
+                per_view, fused_dice, writer, logger,
+            )
+        return {
+            "per_view": [np.stack(v) for v in per_view],
+            "fused": np.stack(fused_dice),
+        }
+
+    def _store_batched_groups(
+        self, variables, store, key, save_dir, uncertainty_dir, vb,
+        per_view, fused_dice, writer, logger,
+    ):
+        n = len(store)
         for g0 in range(0, n, vb):
             idxs = list(range(g0, min(g0 + vb, n)))
             pad = vb - len(idxs)
@@ -322,16 +342,12 @@ class VolumeEvaluator:
                     np.round(d[-1], 4),
                 )
                 if save_dir:
-                    nifti.save(f"{save_dir}/{store.ids[i]}", argmax[j])
+                    writer.save(f"{save_dir}/{store.ids[i]}", argmax[j])
                 if uncertainty_dir is not None:
                     entropy = np.asarray(self._entropy(fused[j]))
-                    nifti.save(
+                    writer.save(
                         f"{uncertainty_dir}/{store.ids[i]}", entropy.astype(np.float32)
                     )
-        return {
-            "per_view": [np.stack(v) for v in per_view],
-            "fused": np.stack(fused_dice),
-        }
 
     def ged_volume(self, variables, img_vol, truth_vol, n_ged_samples: int = 4, key=None):
         """Generalized Energy Distance over whole-volume segmentation samples:
@@ -404,6 +420,8 @@ class VolumeEvaluator:
         n = len(store)
         depth = max(0, pipeline_depth)
         pending: deque = deque()
+        # async exports: disk IO overlaps the next volume's fetch/compute
+        writer = nifti.AsyncWriter() if (save_dir or uncertainty_dir) else None
 
         def drain():
             i, h = pending.popleft()
@@ -417,30 +435,34 @@ class VolumeEvaluator:
             )
             if save_dir:
                 # uint8 fetch; reference export dtype restored (eval.py:51-57)
-                nifti.save(
+                writer.save(
                     f"{save_dir}/{store.ids[i]}",
                     np.asarray(h["argmax_u8"]).astype(np.float32),
                 )
             if uncertainty_dir is not None:
-                nifti.save(
+                writer.save(
                     f"{uncertainty_dir}/{store.ids[i]}",
                     np.asarray(h["entropy"]).astype(np.float32),
                 )
 
-        for i in range(n):
-            h = self._dispatch_volume(
-                variables,
-                jax.device_put(jnp.asarray(store.images[i])),
-                store.labels[i],
-                jax.random.fold_in(key, i),
-                want_entropy=uncertainty_dir is not None,
-            )
-            h.pop("views", None)  # release per-view HBM as soon as XLA allows
-            pending.append((i, h))
-            while len(pending) > depth:
+        try:
+            for i in range(n):
+                h = self._dispatch_volume(
+                    variables,
+                    jax.device_put(jnp.asarray(store.images[i])),
+                    store.labels[i],
+                    jax.random.fold_in(key, i),
+                    want_entropy=uncertainty_dir is not None,
+                )
+                h.pop("views", None)  # release per-view HBM as soon as XLA allows
+                pending.append((i, h))
+                while len(pending) > depth:
+                    drain()
+            while pending:
                 drain()
-        while pending:
-            drain()
+        finally:
+            if writer is not None:
+                writer.close()
         return {
             "per_view": [np.stack(v) for v in per_view],
             "fused": np.stack(fused_dice),

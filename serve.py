@@ -108,7 +108,30 @@ def main() -> int:
     sizes: dict = {}
     key = None
     served = 0
+    # async exports: NIfTI writes (incl. .gz compression) overlap the next
+    # scan/inference instead of serializing between fetches
+    writer = nifti.AsyncWriter()
     logging.info("serving %s → %s (poll %.1fs)", args.watch, args.out, args.poll)
+    try:
+        _serve_loop(args, cfg, task, variables, ev, cube, seen, sizes, key,
+                    served, writer)
+    finally:
+        # drain pending exports even on Ctrl-C; surface write errors without
+        # masking an in-flight exception
+        try:
+            writer.close()
+        except Exception:
+            if sys.exc_info()[0] is None:
+                raise
+            logging.exception("pending NIfTI exports failed")
+    return 0
+
+
+def _serve_loop(args, cfg, task, variables, ev, cube, seen, sizes, key,
+                served, writer):
+    import jax
+    import jax.numpy as jnp
+
     while True:
         if args.once:  # single scan: everything already on disk is "stable"
             ready = [n for n in sorted(os.listdir(args.watch))
@@ -151,9 +174,9 @@ def main() -> int:
                 dt = time.perf_counter() - t0
                 for n, out in zip(names, outs):
                     seg, ent = out if args.uncertainty else (out, None)
-                    nifti.save(os.path.join(args.out, n), seg)
+                    writer.save(os.path.join(args.out, n), seg)
                     if ent is not None:
-                        nifti.save(os.path.join(args.uncertainty, n), ent)
+                        writer.save(os.path.join(args.uncertainty, n), ent)
                 served += len(names)
                 logging.info(
                     "served %d volumes in %.2fs (%.2f s/volume, %d total)",
@@ -162,7 +185,6 @@ def main() -> int:
         if args.once:
             break
         time.sleep(args.poll)
-    return 0
 
 
 if __name__ == "__main__":

@@ -87,6 +87,32 @@ def test_nifti_rejects_garbage(tmp_path):
         nifti.read_header(p)
 
 
+def test_async_writer_matches_sync(tmp_path):
+    vols = [(RNG.random((6, 5, 4)) * 50).astype(np.float32) for _ in range(5)]
+    with nifti.AsyncWriter(max_pending=2) as w:
+        for i, v in enumerate(vols):
+            w.save(tmp_path / f"a{i}.nii", v)
+            nifti.save(tmp_path / f"s{i}.nii", v)
+    for i, v in enumerate(vols):
+        a = nifti.load(tmp_path / f"a{i}.nii")
+        s = nifti.load(tmp_path / f"s{i}.nii")
+        np.testing.assert_array_equal(a, s)
+        np.testing.assert_allclose(a, v)
+
+
+def test_async_writer_propagates_errors(tmp_path):
+    w = nifti.AsyncWriter()
+    # unwritable destination: the path is an existing DIRECTORY
+    bad = tmp_path / "isadir.nii"
+    bad.mkdir()
+    w.save(bad, np.zeros((2, 2, 2), np.float32))
+    with pytest.raises(Exception):
+        w.close()
+    # close is idempotent after error surfaced once → still raises
+    with pytest.raises(Exception):
+        w.close()
+
+
 # ------------------------------ volume store -------------------------------
 
 
