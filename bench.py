@@ -187,7 +187,9 @@ def bench_infer() -> dict:
 
     # compile + warmup (excluded, as the program is reused across volumes);
     # lower+compile explicitly so the SAME executable yields cost analysis
-    lowered = ev._predict.lower(variables, jnp.asarray(vols[0]), jax.random.key(99))
+    # (_upload: volumes ship in the compute-matched transfer dtype — bf16
+    # halves H2D bytes, the bottleneck on tunneled links, docs/PERF.md)
+    lowered = ev._predict.lower(variables, ev._upload(vols[0]), jax.random.key(99))
     compiled = lowered.compile()
     flops = _flops_of(compiled)
     res = ev.evaluate_volume(variables, vols[0], key=jax.random.key(99))

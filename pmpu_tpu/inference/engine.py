@@ -55,6 +55,14 @@ class VolumeEvaluator:
       mean_z: decode the prior MEAN instead of sampling (deterministic —
               the parity mode used by tools/compare_with_reference.py;
               all n_samples collapse to one decode)
+      input_dtype: host→device image transfer dtype — None (auto: bf16 when
+              the model computes in bf16, else f32), "float32", "bfloat16".
+              On tunneled/PCIe links the VOLUME UPLOAD, not device compute,
+              bounds per-volume wall-clock (measured: 128³ f32 upload
+              ~198 ms vs ~97 ms bf16 vs ~104 ms device compute on v5e
+              through the tunnel — docs/PERF.md); the program upcasts to
+              f32 before per-slice max normalization, and the model casts
+              to its compute dtype at the first conv either way.
     """
 
     def __init__(
@@ -65,6 +73,7 @@ class VolumeEvaluator:
         num_views: int = 3,
         mesh=None,
         mean_z: bool = False,
+        input_dtype: Optional[str] = None,
     ):
         self.task = task
         self.n_samples = 1 if mean_z else n_samples
@@ -72,6 +81,14 @@ class VolumeEvaluator:
         self.eval_batch = eval_batch
         self.num_views = num_views
         self.mesh = mesh  # shard the slice-slab batch axis over mesh 'data'
+        if input_dtype is None:
+            net_dtype = getattr(task.net, "dtype", None)
+            input_dtype = "bfloat16" if net_dtype == jnp.bfloat16 else "float32"
+        import ml_dtypes
+
+        self.input_dtype = np.dtype(
+            ml_dtypes.bfloat16 if input_dtype == "bfloat16" else np.float32
+        )
         self._bases = None if num_views == 3 else jnp.asarray(make_view_bases(num_views))
         self._predict = jax.jit(self._predict_volume)
         self._report = jax.jit(self._dice_report)
@@ -82,6 +99,27 @@ class VolumeEvaluator:
         self._entropy = jax.jit(lambda p: -jnp.sum(p * jnp.log(p + 1e-12), axis=-1))
 
     # ------------------------------------------------------------------
+    def _upload(self, vol):
+        """Host→device image upload in the transfer dtype (see class doc).
+        Device-resident arrays pass through untouched (tests / pre-staged
+        volumes); the host cast of a 128³ volume costs ~2 ms."""
+        if isinstance(vol, jax.Array):
+            return vol
+        arr = np.asarray(vol)
+        if arr.dtype != self.input_dtype:
+            arr = arr.astype(self.input_dtype)
+        return jax.device_put(arr)
+
+    def _upload_truth(self, truth):
+        """Truth labels ship as uint8 (class ids < 256 always hold here):
+        4× less H2D traffic than the store's int32."""
+        if isinstance(truth, jax.Array):
+            return truth
+        arr = np.asarray(truth)
+        if arr.dtype != np.uint8 and self.task.n_classes < 256:
+            arr = arr.astype(np.uint8)
+        return jax.device_put(arr)
+
     def _model_logits(self, variables, x, key, per_sample: bool = False):
         """Batched model forward → class logits (N,H,W,C), or per-sample
         logits (n_samples,N,H,W,C) when ``per_sample`` — the UNet/prior
@@ -170,6 +208,7 @@ class VolumeEvaluator:
         With ``per_sample`` every output carries a leading n_samples axis —
         one fused segmentation per prior draw from a single model pass
         (GED path; the UNet/prior forwards are shared across draws)."""
+        vol = vol.astype(jnp.float32)  # upcast compact-transfer inputs
         if self.num_views == 3:
             with jax.named_scope("slice_slabs"):
                 slabs = normalize_slabs(view_slabs(vol))
@@ -223,11 +262,11 @@ class VolumeEvaluator:
         device→host transfer and per-program dispatch latency hide under the
         next volume's compute (see :meth:`evaluate_store`)."""
         key = key if key is not None else jax.random.key(0)
-        outs = self._predict(variables, jnp.asarray(img_vol), key)
+        outs = self._predict(variables, self._upload(img_vol), key)
         fused = outs[-1]
         handle = {"fused": fused, "views": outs[:-1], "argmax_u8": self._argmax_u8(fused)}
         if truth_vol is not None:
-            handle["dice"] = self._report(outs, jnp.asarray(truth_vol))
+            handle["dice"] = self._report(outs, self._upload_truth(truth_vol))
         if want_entropy:
             handle["entropy"] = self._entropy(fused)
         return handle
@@ -257,7 +296,7 @@ class VolumeEvaluator:
         prob volumes (V,S,S,S,C) and dice (V, num_views+1, C-1) if truths
         are given. Matches per-volume evaluation exactly (tested)."""
         key = key if key is not None else jax.random.key(0)
-        vols = jnp.asarray(img_vols)
+        vols = self._upload(img_vols)
         keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(vols.shape[0]))
 
         if not hasattr(self, "_predict_batched"):
@@ -268,7 +307,9 @@ class VolumeEvaluator:
         outs = self._predict_batched(variables, vols, keys)
         result = {"fused": outs[-1]}
         if truth_vols is not None:
-            result["dice"] = np.asarray(self._report_batched(outs, jnp.asarray(truth_vols)))
+            result["dice"] = np.asarray(
+                self._report_batched(outs, self._upload_truth(truth_vols))
+            )
         return result
 
     def evaluate_store_batched(
@@ -449,7 +490,7 @@ class VolumeEvaluator:
             for i in range(n):
                 h = self._dispatch_volume(
                     variables,
-                    jax.device_put(jnp.asarray(store.images[i])),
+                    store.images[i],
                     store.labels[i],
                     jax.random.fold_in(key, i),
                     want_entropy=uncertainty_dir is not None,
@@ -494,7 +535,7 @@ class VolumeEvaluator:
 
         for i, vol in enumerate(volumes):
             h = self._dispatch_volume(
-                variables, jax.device_put(jnp.asarray(vol)),
+                variables, vol,
                 key=jax.random.fold_in(key, i), want_entropy=want_entropy,
             )
             pending.append((i, h["argmax_u8"], h.get("entropy")))

@@ -33,3 +33,39 @@ def test_bf16_eval_dice_close_to_f32():
 
     # within 0.02 Dice of f32 on every view + fused (BASELINE tolerance is 0.5 pts)
     np.testing.assert_allclose(d16, d32, atol=0.02)
+
+
+@pytest.mark.slow
+def test_input_transfer_dtype_quality_and_auto_selection():
+    """Compact H2D transfer (engine input_dtype): bf16-shipped volumes must
+    give near-identical dice to f32-shipped ones, and the auto mode must
+    pick bf16 iff the model computes in bf16 (upload is the wall-clock
+    bound on tunneled links — docs/PERF.md)."""
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    store = make_synthetic_store(n=2, s=24, seed=4)
+    cfg = Config(
+        net="unet", n_classes=3, epochs=2, batchsize=8, lr=0.05,
+        num_filters=(8, 16), save_cp=False, seed=0,
+    )
+    state, task, _ = train_net(cfg, store)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    # auto: f32 model → f32 transfer; bf16 model → bf16 transfer
+    assert VolumeEvaluator(task, eval_batch=24).input_dtype == np.float32
+    task16 = make_task("unet", n_classes=3, num_filters=(8, 16), dtype=jnp.bfloat16)
+    assert VolumeEvaluator(task16, eval_batch=24).input_dtype == np.dtype(
+        ml_dtypes.bfloat16
+    )
+
+    ev_f32 = VolumeEvaluator(task, eval_batch=24, input_dtype="float32")
+    ev_bf16_in = VolumeEvaluator(task, eval_batch=24, input_dtype="bfloat16")
+    d_f = ev_f32.evaluate_volume(
+        variables, store.images[0], store.labels[0], jax.random.key(1)
+    )["dice"]
+    d_b = ev_bf16_in.evaluate_volume(
+        variables, store.images[0], store.labels[0], jax.random.key(1)
+    )["dice"]
+    # f32 compute with bf16-rounded INPUTS only: dice within 0.01
+    np.testing.assert_allclose(d_b, d_f, atol=0.01)
