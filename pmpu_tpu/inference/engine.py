@@ -96,7 +96,12 @@ class VolumeEvaluator:
         # device→host traffic than int32/float32 — the transfer, not compute,
         # dominates per-volume wall-clock on tunneled/PCIe links (docs/PERF.md)
         self._argmax_u8 = jax.jit(lambda p: jnp.argmax(p, axis=-1).astype(jnp.uint8))
-        self._entropy = jax.jit(lambda p: -jnp.sum(p * jnp.log(p + 1e-12), axis=-1))
+        # entropy computed in f32, fetched as bf16: half the D2H bytes (the
+        # uncertainty path's fetch would otherwise match the volume upload);
+        # callers upcast to f32 for NIfTI export — ~3 decimal digits retained
+        self._entropy = jax.jit(
+            lambda p: (-jnp.sum(p * jnp.log(p + 1e-12), axis=-1)).astype(jnp.bfloat16)
+        )
 
     # ------------------------------------------------------------------
     def _upload(self, vol):
