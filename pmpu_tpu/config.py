@@ -72,6 +72,13 @@ class Config:
     # (dispatch-ahead/fetch-behind; 0 = fully synchronous, bit-identical)
     sharded_volumes: bool = False  # shard the volume pool over the 'data' mesh
     # axis (n_devices x HBM capacity; shard-local gathers via shard_map)
+    slice_filter: bool = True  # drop all-background slices from TRAINING
+    # (reference semantics, mri_dataset.py:45-47). False = include them:
+    # whole-volume eval runs every slice (eval.py:100), and a model that
+    # never saw empty slices hallucinates foreground on them after
+    # per-slice max normalization amplifies pure noise — including the
+    # empties teaches "empty -> background" and lifts fused dice on
+    # sparse volumes (measured on synthetic data, docs/PERF.md)
 
     def resolved_n_classes(self) -> int:
         if self.n_classes is not None:
@@ -180,6 +187,11 @@ def _add_extension_args(p: argparse.ArgumentParser):
     g.add_argument("--pipeline-depth", dest="pipeline_depth", type=int, default=2,
                    help="eval: volumes dispatched ahead of the result fetch "
                    "(0 = synchronous; results are bit-identical either way)")
+    g.add_argument("--include-empty-slices", dest="slice_filter",
+                   action="store_false",
+                   help="train on all-background slices too (reference drops "
+                   "them, mri_dataset.py:45-47); reduces foreground "
+                   "hallucination on empty slices at whole-volume eval")
 
 
 def config_from_args(args: argparse.Namespace) -> Config:

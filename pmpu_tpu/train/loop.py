@@ -81,7 +81,7 @@ def train_net(cfg: Config, store: VolumeStore, interrupt_flag=None):
             images_d, labels_d, table = make_oblique_view_stacks(
                 store.images, store.labels, bases
             )
-            index = build_index_map_from_table(table, filter=True)
+            index = build_index_map_from_table(table, filter=cfg.slice_filter)
             sampler = sample_batch_vt
             log.info(
                 "oblique view stacks: %d views x %d scans precomputed (%.2f GB HBM)",
@@ -90,7 +90,7 @@ def train_net(cfg: Config, store: VolumeStore, interrupt_flag=None):
             )
         else:
             table = oblique_nonempty_table(store.labels, bases)
-            index = build_index_map_from_table(table, filter=True)
+            index = build_index_map_from_table(table, filter=cfg.slice_filter)
             images_d = jax.device_put(jnp.asarray(store.images))
             labels_d = jax.device_put(jnp.asarray(store.labels))
             sampler = make_oblique_sampler(bases)
@@ -112,7 +112,7 @@ def train_net(cfg: Config, store: VolumeStore, interrupt_flag=None):
                 f"{len(store)} volumes not divisible by {n_shards} devices "
                 "(--sharded-volumes needs equal shards)"
             )
-        index = build_index_map(store.labels, filter=True)
+        index = build_index_map(store.labels, filter=cfg.slice_filter)
         dat = NamedSharding(sv_mesh, P("data"))
         images_d = jax.device_put(jnp.asarray(store.images), dat)
         labels_d = jax.device_put(jnp.asarray(store.labels), dat)
@@ -126,7 +126,7 @@ def train_net(cfg: Config, store: VolumeStore, interrupt_flag=None):
 
         if cfg.data_parallel:
             raise ValueError("--stream is not supported with --data-parallel yet")
-        index = build_index_map(store.labels, filter=True)
+        index = build_index_map(store.labels, filter=cfg.slice_filter)
         images_d = labels_d = None
         sampler = sample_rows
     elif cfg.view_stacks:
@@ -137,14 +137,14 @@ def train_net(cfg: Config, store: VolumeStore, interrupt_flag=None):
         from pmpu_tpu.data.volumes import make_view_stacks
         from pmpu_tpu.ops.pallas.slice_gather import sample_batch_fused
 
-        index = build_index_map(store.labels, filter=True)
+        index = build_index_map(store.labels, filter=cfg.slice_filter)
         images_d = jax.device_put(jnp.asarray(make_view_stacks(store.images)))
         labels_d = jax.device_put(jnp.asarray(make_view_stacks(store.labels)))
         sampler = sample_batch_fused if cfg.pallas_sampler else sample_batch_vt
     else:
         from pmpu_tpu.data.sampler import sample_batch as sampler
 
-        index = build_index_map(store.labels, filter=True)
+        index = build_index_map(store.labels, filter=cfg.slice_filter)
         images_d = jax.device_put(jnp.asarray(store.images))
         labels_d = jax.device_put(jnp.asarray(store.labels))
     if cfg.train_views is not None:

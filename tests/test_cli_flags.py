@@ -57,3 +57,21 @@ def test_extension_flags():
     )
     assert cfg.num_filters == (8, 16, 32)
     assert cfg.bf16 and cfg.num_views == 6 and cfg.augment and cfg.remat
+    assert cfg.slice_filter  # default preserves reference train filtering
+
+
+def test_include_empty_slices_flag_reaches_index_map():
+    import numpy as np
+
+    from pmpu_tpu.data.index_map import build_index_map
+
+    p = argparse.ArgumentParser()
+    cfg = config_from_args(add_train_args(p).parse_args(["--include-empty-slices"]))
+    assert cfg.slice_filter is False
+
+    lbls = np.zeros((1, 4, 4, 4), np.int32)
+    lbls[0, 1, :, :] = 1  # one nonempty slice in view 0 only
+    filtered = build_index_map(lbls, filter=True)
+    full = build_index_map(lbls, filter=cfg.slice_filter)
+    assert len(full) == 3 * 4  # every (view, slice) kept
+    assert len(filtered) < len(full)
