@@ -41,6 +41,20 @@ from pmpu_tpu.models.prob_unet import ProbabilisticUNet
 from pmpu_tpu.ops.metrics import volume_per_class_dice
 
 
+def _pack2bit(a):
+    """(..., S) uint8 class ids < 4 → (..., S//4), 4 voxels per byte
+    (voxel j of each group sits at bits 2j..2j+1)."""
+    a4 = a.reshape(a.shape[:-1] + (a.shape[-1] // 4, 4))
+    w = jnp.asarray([1, 4, 16, 64], jnp.uint8)
+    return jnp.sum(a4 * w, axis=-1, dtype=jnp.uint8)
+
+
+def _unpack2bit(p: np.ndarray) -> np.ndarray:
+    """Host inverse of :func:`_pack2bit` (vectorized shift-and-mask)."""
+    bits = (p[..., None] >> np.asarray([0, 2, 4, 6], np.uint8)) & np.uint8(3)
+    return bits.reshape(p.shape[:-1] + (p.shape[-1] * 4,))
+
+
 class VolumeEvaluator:
     """Batched on-device evaluator for one task/checkpoint.
 
@@ -96,14 +110,40 @@ class VolumeEvaluator:
         # device→host traffic than int32/float32 — the transfer, not compute,
         # dominates per-volume wall-clock on tunneled/PCIe links (docs/PERF.md)
         self._argmax_u8 = jax.jit(lambda p: jnp.argmax(p, axis=-1).astype(jnp.uint8))
-        # entropy computed in f32, fetched as bf16: half the D2H bytes (the
-        # uncertainty path's fetch would otherwise match the volume upload);
-        # callers upcast to f32 for NIfTI export — ~3 decimal digits retained
+        # 2-bit packed segmentation fetch (4 voxels/byte) when class ids fit:
+        # D2H of the fused argmax measured 86–130 ms at 2 MB vs 55–64 ms at
+        # 0.5 MB through the tunnel (docs/PERF.md) — the fetch rivals device
+        # compute, so bytes on the wire are the lever. Host unpack is a
+        # vectorized shift-and-mask (~1 ms for 128³).
+        n_cls = max(task.n_classes, 2)
+        self._pack_classes = n_cls <= 4
+        self._argmax_packed = jax.jit(
+            lambda p: _pack2bit(jnp.argmax(p, axis=-1).astype(jnp.uint8))
+        )
+        # entropy (∈ [0, ln C]) fetched as uint16 fixed-point: 4× fewer bytes
+        # than f32 at 1.7e-5 absolute precision; callers dequantize via
+        # _fetch_entropy for NIfTI export
+        self._entropy_scale = float(np.log(n_cls))
         self._entropy = jax.jit(
-            lambda p: (-jnp.sum(p * jnp.log(p + 1e-12), axis=-1)).astype(jnp.bfloat16)
+            lambda p: jnp.round(
+                (-jnp.sum(p * jnp.log(p + 1e-12), axis=-1))
+                * (65535.0 / self._entropy_scale)
+            ).astype(jnp.uint16)
         )
 
     # ------------------------------------------------------------------
+    def _fetch_seg(self, h) -> np.ndarray:
+        """Device→host of the final segmentation as float32 (the reference's
+        NIfTI export dtype, ``eval.py:51-57``) via the packed wire format
+        when the class count allows."""
+        if "seg_packed" in h:
+            return _unpack2bit(np.asarray(h["seg_packed"])).astype(np.float32)
+        return np.asarray(h["argmax_u8"]).astype(np.float32)
+
+    def _fetch_entropy(self, x) -> np.ndarray:
+        """Dequantize a fetched uint16 fixed-point entropy map to float32."""
+        return np.asarray(x).astype(np.float32) * (self._entropy_scale / 65535.0)
+
     def _upload(self, vol):
         """Host→device image upload in the transfer dtype (see class doc).
         Device-resident arrays pass through untouched (tests / pre-staged
@@ -269,7 +309,11 @@ class VolumeEvaluator:
         key = key if key is not None else jax.random.key(0)
         outs = self._predict(variables, self._upload(img_vol), key)
         fused = outs[-1]
-        handle = {"fused": fused, "views": outs[:-1], "argmax_u8": self._argmax_u8(fused)}
+        handle = {"fused": fused, "views": outs[:-1]}
+        if self._pack_classes and fused.shape[2] % 4 == 0:
+            handle["seg_packed"] = self._argmax_packed(fused)
+        else:
+            handle["argmax_u8"] = self._argmax_u8(fused)
         if truth_vol is not None:
             handle["dice"] = self._report(outs, self._upload_truth(truth_vol))
         if want_entropy:
@@ -287,7 +331,7 @@ class VolumeEvaluator:
         h = self._dispatch_volume(variables, img_vol, truth_vol, key)
         result = {
             "fused": h["fused"],
-            "argmax": np.asarray(h["argmax_u8"]).astype(np.float32),
+            "argmax": self._fetch_seg(h),
         }
         if return_views:
             result["views"] = h["views"]
@@ -390,9 +434,9 @@ class VolumeEvaluator:
                 if save_dir:
                     writer.save(f"{save_dir}/{store.ids[i]}", argmax[j])
                 if uncertainty_dir is not None:
-                    entropy = np.asarray(self._entropy(fused[j]))
                     writer.save(
-                        f"{uncertainty_dir}/{store.ids[i]}", entropy.astype(np.float32)
+                        f"{uncertainty_dir}/{store.ids[i]}",
+                        self._fetch_entropy(self._entropy(fused[j])),
                     )
 
     def ged_volume(self, variables, img_vol, truth_vol, n_ged_samples: int = 4, key=None):
@@ -480,15 +524,12 @@ class VolumeEvaluator:
                 np.round(d[-1], 4),
             )
             if save_dir:
-                # uint8 fetch; reference export dtype restored (eval.py:51-57)
-                writer.save(
-                    f"{save_dir}/{store.ids[i]}",
-                    np.asarray(h["argmax_u8"]).astype(np.float32),
-                )
+                # packed fetch; reference export dtype restored (eval.py:51-57)
+                writer.save(f"{save_dir}/{store.ids[i]}", self._fetch_seg(h))
             if uncertainty_dir is not None:
                 writer.save(
                     f"{uncertainty_dir}/{store.ids[i]}",
-                    np.asarray(h["entropy"]).astype(np.float32),
+                    self._fetch_entropy(h["entropy"]),
                 )
 
         try:
@@ -534,16 +575,19 @@ class VolumeEvaluator:
         results = [None] * len(volumes)
 
         def drain():
-            i, am, ent = pending.popleft()
-            seg = np.asarray(am).astype(np.float32)
-            results[i] = seg if ent is None else (seg, np.asarray(ent).astype(np.float32))
+            i, h = pending.popleft()
+            seg = self._fetch_seg(h)
+            ent = h.get("entropy")
+            results[i] = seg if ent is None else (seg, self._fetch_entropy(ent))
 
         for i, vol in enumerate(volumes):
             h = self._dispatch_volume(
                 variables, vol,
                 key=jax.random.fold_in(key, i), want_entropy=want_entropy,
             )
-            pending.append((i, h["argmax_u8"], h.get("entropy")))
+            h.pop("views", None)
+            h.pop("fused", None)  # only the packed seg (+entropy) is fetched
+            pending.append((i, h))
             while len(pending) > depth:
                 drain()
         while pending:

@@ -138,3 +138,53 @@ def test_cli_stream_and_batched_eval(tmp_path):
     assert "avg volume" in res.stdout
     assert (tmp_path / "predictions" / "image0.nii").exists()
     assert (tmp_path / "predictions" / "image1.nii").exists()
+
+
+def test_pack2bit_roundtrip_and_entropy_quantization():
+    """Wire formats of the result fetch: 2-bit packed argmax must round-trip
+    exactly; uint16 fixed-point entropy must dequantize within 1.7e-5."""
+    from pmpu_tpu.inference.engine import _pack2bit, _unpack2bit
+
+    a = RNG.integers(0, 4, size=(5, 7, 8)).astype(np.uint8)
+    packed = np.asarray(_pack2bit(jnp.asarray(a)))
+    assert packed.shape == (5, 7, 2)
+    np.testing.assert_array_equal(_unpack2bit(packed), a)
+
+    task = make_task("unet", n_classes=3, num_filters=(4, 8))
+    ev = VolumeEvaluator(task, eval_batch=8)
+    probs = jax.nn.softmax(jnp.asarray(RNG.random((6, 6, 6, 3)), jnp.float32))
+    ent_true = np.asarray(-jnp.sum(probs * jnp.log(probs + 1e-12), axis=-1))
+    ent_q = ev._fetch_entropy(ev._entropy(probs))
+    assert ent_q.dtype == np.float32
+    np.testing.assert_allclose(ent_q, ent_true, atol=ev._entropy_scale / 65535)
+
+
+def test_packed_fetch_matches_unpacked_path(tmp_path):
+    """evaluate_volume must produce the identical argmax via the packed wire
+    format (cube % 4 == 0) and the u8 fallback (cube % 4 != 0 is exercised
+    by a 15-cube volume)."""
+    task = make_task("unet", n_classes=3, num_filters=(4, 8))
+    variables = task.init_variables(
+        jax.random.key(0),
+        jnp.zeros((2, 16, 16, 1), jnp.float32),
+        jnp.zeros((2, 16, 16, 1), jnp.int32),
+    )
+    ev = VolumeEvaluator(task, eval_batch=16)
+    vol16 = RNG.random((16, 16, 16)).astype(np.float32)
+    r = ev.evaluate_volume(variables, vol16)
+    fused_argmax = np.asarray(jnp.argmax(r["fused"], axis=-1)).astype(np.float32)
+    np.testing.assert_array_equal(r["argmax"], fused_argmax)
+
+    ev15 = VolumeEvaluator(task, eval_batch=15)
+    vol15 = RNG.random((15, 15, 15)).astype(np.float32)
+    r15 = ev15.evaluate_volume(
+        task.init_variables(
+            jax.random.key(0),
+            jnp.zeros((2, 15, 15, 1), jnp.float32),
+            jnp.zeros((2, 15, 15, 1), jnp.int32),
+        ),
+        vol15,
+    )
+    np.testing.assert_array_equal(
+        r15["argmax"], np.asarray(jnp.argmax(r15["fused"], axis=-1)).astype(np.float32)
+    )
