@@ -416,6 +416,11 @@ def _run_epochs(
             if stream_pipe is not None:
                 val_stream = stream_pipe.iterate([np.asarray(index[s]) for s in val_sels])
         vbar = _pbar(val_steps * per_step, "Validation round")
+        # all val steps dispatch first; the scalar fetches happen once at the
+        # end (same deferred-sync idea as the train metrics: per-step float()
+        # round-trips are expensive on tunneled links, and no val output
+        # feeds the next val step)
+        val_pending = []
         for i in range(val_steps):
             key, sk = jax.random.split(key)
             if sv is not None:
@@ -429,8 +434,7 @@ def _run_epochs(
                 vloss, dice, preds, img, msk = eval_step(
                     state, imgs_b, lbls_b, _stream_rows(len(val_sels[i])), sk
                 )
-            loss_sum += float(vloss)
-            dice_sum += np.asarray(dice)
+            val_pending.append((vloss, dice))
             if not logged_images:  # one image triplet per val round (train.py:156-160)
                 writer.images("images", np.asarray(img), global_step)
                 writer.images("masks/true", mask_to_image(np.asarray(msk), n_classes), global_step)
@@ -440,6 +444,9 @@ def _run_epochs(
                 logged_images = True
             global_step += 1
             vbar.update(per_step)
+        for vloss, dice in val_pending:
+            loss_sum += float(vloss)
+            dice_sum += np.asarray(dice)
         vbar.close()
 
         if val_steps:
