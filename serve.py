@@ -53,6 +53,8 @@ def get_args():
     p.add_argument("--eval-batch", dest="eval_batch", type=int, default=0)
     p.add_argument("--num-views", dest="num_views", type=int, default=3)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute + compact bf16 volume uploads")
     p.add_argument("--compile-cache", dest="compile_cache", type=str, default=None)
     return p.parse_args()
 
@@ -79,7 +81,7 @@ def main() -> int:
 
     cfg = Config(net=args.net, n_classes=3, load=args.load,
                  eval_samples=args.eval_samples, eval_batch=args.eval_batch,
-                 num_views=args.num_views, seed=args.seed)
+                 num_views=args.num_views, seed=args.seed, bf16=args.bf16)
 
     import jax
     import jax.numpy as jnp
