@@ -203,6 +203,7 @@ class AsyncWriter:
 
         self._q: "queue.Queue" = queue.Queue(maxsize=max_pending)
         self._err: Exception | None = None
+        self._closed = False
         self._thread = threading.Thread(
             target=self._run, name="pmpu-nifti-writer", daemon=True
         )
@@ -223,12 +224,15 @@ class AsyncWriter:
                 self._q.task_done()
 
     def save(self, path, data: np.ndarray, affine: np.ndarray | None = None) -> None:
+        if self._closed:
+            raise RuntimeError("AsyncWriter.save() after close()")
         if self._err is not None:
             raise self._err
         self._q.put((path, np.asarray(data), affine))
 
     def close(self) -> None:
-        if self._thread.is_alive():
+        if not self._closed:
+            self._closed = True
             self._q.put(None)
             self._thread.join()
         if self._err is not None:

@@ -98,6 +98,10 @@ class VolumeEvaluator:
         if input_dtype is None:
             net_dtype = getattr(task.net, "dtype", None)
             input_dtype = "bfloat16" if net_dtype == jnp.bfloat16 else "float32"
+        if input_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"input_dtype must be 'float32' or 'bfloat16', got {input_dtype!r}"
+            )
         import ml_dtypes
 
         self.input_dtype = np.dtype(
@@ -379,6 +383,7 @@ class VolumeEvaluator:
         padded by repeating the last volume so one program shape serves the
         whole store."""
         key = key if key is not None else jax.random.key(0)
+        save_dir, uncertainty_dir = save_dir or None, uncertainty_dir or None
         vb = max(1, volumes_per_batch)
         n = len(store)
         per_view = [[] for _ in range(self.num_views)]
@@ -393,51 +398,42 @@ class VolumeEvaluator:
             nifti.AsyncWriter() if (save_dir or uncertainty_dir) else nullcontext()
         )
         with writer_cm as writer:
-            self._store_batched_groups(
-                variables, store, key, save_dir, uncertainty_dir, vb,
-                per_view, fused_dice, writer, logger,
-            )
+            for g0 in range(0, n, vb):
+                idxs = list(range(g0, min(g0 + vb, n)))
+                pad = vb - len(idxs)
+                sel = idxs + [idxs[-1]] * pad  # repeat-pad the last group
+                imgs = np.stack([store.images[i] for i in sel])
+                truths = np.stack([store.labels[i] for i in sel])
+                # per-group key (volumes within a group are folded again by
+                # position inside evaluate_volumes_batched); probabilistic
+                # draws are deterministic per mode but differ from the
+                # sequential path
+                gkey = jax.random.fold_in(key, g0 // vb)
+                out = self.evaluate_volumes_batched(variables, imgs, truths, key=gkey)
+                fused = out["fused"]
+                argmax = np.asarray(
+                    jnp.argmax(fused, axis=-1).astype(jnp.uint8)
+                ).astype(np.float32)
+                for j, i in enumerate(idxs):
+                    d = out["dice"][j]
+                    for v in range(self.num_views):
+                        per_view[v].append(d[v])
+                    fused_dice.append(d[-1])
+                    logger.info(
+                        "volume %d/%d %s fused dice=%s", i + 1, n, store.ids[i],
+                        np.round(d[-1], 4),
+                    )
+                    if save_dir:
+                        writer.save(f"{save_dir}/{store.ids[i]}", argmax[j])
+                    if uncertainty_dir:
+                        writer.save(
+                            f"{uncertainty_dir}/{store.ids[i]}",
+                            self._fetch_entropy(self._entropy(fused[j])),
+                        )
         return {
             "per_view": [np.stack(v) for v in per_view],
             "fused": np.stack(fused_dice),
         }
-
-    def _store_batched_groups(
-        self, variables, store, key, save_dir, uncertainty_dir, vb,
-        per_view, fused_dice, writer, logger,
-    ):
-        n = len(store)
-        for g0 in range(0, n, vb):
-            idxs = list(range(g0, min(g0 + vb, n)))
-            pad = vb - len(idxs)
-            sel = idxs + [idxs[-1]] * pad  # repeat-pad the last group
-            imgs = np.stack([store.images[i] for i in sel])
-            truths = np.stack([store.labels[i] for i in sel])
-            # per-group key (volumes within a group are folded again by
-            # position inside evaluate_volumes_batched); probabilistic draws
-            # are deterministic per mode but differ from the sequential path
-            gkey = jax.random.fold_in(key, g0 // vb)
-            out = self.evaluate_volumes_batched(variables, imgs, truths, key=gkey)
-            fused = out["fused"]
-            argmax = np.asarray(
-                jnp.argmax(fused, axis=-1).astype(jnp.uint8)
-            ).astype(np.float32)
-            for j, i in enumerate(idxs):
-                d = out["dice"][j]
-                for v in range(self.num_views):
-                    per_view[v].append(d[v])
-                fused_dice.append(d[-1])
-                logger.info(
-                    "volume %d/%d %s fused dice=%s", i + 1, n, store.ids[i],
-                    np.round(d[-1], 4),
-                )
-                if save_dir:
-                    writer.save(f"{save_dir}/{store.ids[i]}", argmax[j])
-                if uncertainty_dir is not None:
-                    writer.save(
-                        f"{uncertainty_dir}/{store.ids[i]}",
-                        self._fetch_entropy(self._entropy(fused[j])),
-                    )
 
     def ged_volume(self, variables, img_vol, truth_vol, n_ged_samples: int = 4, key=None):
         """Generalized Energy Distance over whole-volume segmentation samples:
@@ -499,10 +495,12 @@ class VolumeEvaluator:
         amortized sec/volume drops toward pure device time on links where
         transfer/dispatch dominates (docs/PERF.md)."""
         key = key if key is not None else jax.random.key(0)
+        save_dir, uncertainty_dir = save_dir or None, uncertainty_dir or None
         per_view = [[] for _ in range(self.num_views)]
         fused_dice = []
         import logging
         from collections import deque
+        from contextlib import nullcontext
 
         from pmpu_tpu.data import nifti
 
@@ -510,29 +508,34 @@ class VolumeEvaluator:
         n = len(store)
         depth = max(0, pipeline_depth)
         pending: deque = deque()
-        # async exports: disk IO overlaps the next volume's fetch/compute
-        writer = nifti.AsyncWriter() if (save_dir or uncertainty_dir) else None
+        # async exports: disk IO overlaps the next volume's fetch/compute;
+        # the context manager drains pending writes on exit and surfaces
+        # write errors without masking an in-flight exception
+        writer_cm = (
+            nifti.AsyncWriter() if (save_dir or uncertainty_dir) else nullcontext()
+        )
 
-        def drain():
-            i, h = pending.popleft()
-            d = np.asarray(h["dice"])
-            for v in range(self.num_views):
-                per_view[v].append(d[v])
-            fused_dice.append(d[-1])
-            logger.info(
-                "volume %d/%d %s fused dice=%s", i + 1, n, store.ids[i],
-                np.round(d[-1], 4),
-            )
-            if save_dir:
-                # packed fetch; reference export dtype restored (eval.py:51-57)
-                writer.save(f"{save_dir}/{store.ids[i]}", self._fetch_seg(h))
-            if uncertainty_dir is not None:
-                writer.save(
-                    f"{uncertainty_dir}/{store.ids[i]}",
-                    self._fetch_entropy(h["entropy"]),
+        with writer_cm as writer:
+
+            def drain():
+                i, h = pending.popleft()
+                d = np.asarray(h["dice"])
+                for v in range(self.num_views):
+                    per_view[v].append(d[v])
+                fused_dice.append(d[-1])
+                logger.info(
+                    "volume %d/%d %s fused dice=%s", i + 1, n, store.ids[i],
+                    np.round(d[-1], 4),
                 )
+                if save_dir:
+                    # packed fetch; reference export dtype (eval.py:51-57)
+                    writer.save(f"{save_dir}/{store.ids[i]}", self._fetch_seg(h))
+                if uncertainty_dir:
+                    writer.save(
+                        f"{uncertainty_dir}/{store.ids[i]}",
+                        self._fetch_entropy(h["entropy"]),
+                    )
 
-        try:
             for i in range(n):
                 h = self._dispatch_volume(
                     variables,
@@ -547,9 +550,6 @@ class VolumeEvaluator:
                     drain()
             while pending:
                 drain()
-        finally:
-            if writer is not None:
-                writer.close()
         return {
             "per_view": [np.stack(v) for v in per_view],
             "fused": np.stack(fused_dice),

@@ -112,20 +112,12 @@ def main() -> int:
     served = 0
     # async exports: NIfTI writes (incl. .gz compression) overlap the next
     # scan/inference instead of serializing between fetches
-    writer = nifti.AsyncWriter()
-    logging.info("serving %s → %s (poll %.1fs)", args.watch, args.out, args.poll)
-    try:
+    # the context manager drains pending exports on exit (even on Ctrl-C) and
+    # re-raises the first write error without masking an in-flight exception
+    with nifti.AsyncWriter() as writer:
+        logging.info("serving %s → %s (poll %.1fs)", args.watch, args.out, args.poll)
         _serve_loop(args, cfg, task, variables, ev, cube, seen, sizes, key,
                     served, writer)
-    finally:
-        # drain pending exports even on Ctrl-C; surface write errors without
-        # masking an in-flight exception
-        try:
-            writer.close()
-        except Exception:
-            if sys.exc_info()[0] is None:
-                raise
-            logging.exception("pending NIfTI exports failed")
     return 0
 
 

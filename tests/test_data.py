@@ -113,6 +113,15 @@ def test_async_writer_propagates_errors(tmp_path):
         w.close()
 
 
+def test_async_writer_save_after_close_raises(tmp_path):
+    w = nifti.AsyncWriter()
+    w.save(tmp_path / "ok.nii", np.zeros((2, 2, 2), np.float32))
+    w.close()
+    with pytest.raises(RuntimeError, match="after close"):
+        w.save(tmp_path / "late.nii", np.zeros((2, 2, 2), np.float32))
+    assert (tmp_path / "ok.nii").exists() and not (tmp_path / "late.nii").exists()
+
+
 # ------------------------------ volume store -------------------------------
 
 
