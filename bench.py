@@ -55,6 +55,7 @@ EVAL_BATCH = int(os.environ.get("BENCH_EVAL_BATCH", "0"))  # 0 = auto (divisor h
 REPEATS = int(os.environ.get("BENCH_REPEATS", "5"))
 BF16 = os.environ.get("BENCH_BF16", "1") == "1"
 MODE = os.environ.get("BENCH_MODE", "infer")  # infer | train
+QUANTIZE = os.environ.get("BENCH_QUANTIZE") or None  # int8 | unset
 SKIP_TRAIN = os.environ.get("BENCH_SKIP_TRAIN", "0") == "1"
 FILTERS = tuple(
     int(x) for x in os.environ.get("BENCH_FILTERS", "64,128,256,512,1024").split(",")
@@ -181,15 +182,19 @@ def bench_infer() -> dict:
         jnp.zeros((2, s, s, 1), jnp.float32),
         jnp.zeros((2, s, s, 1), jnp.int32),
     )
-    ev = VolumeEvaluator(task, n_samples=SAMPLES, eval_batch=EVAL_BATCH)
+    ev = VolumeEvaluator(task, n_samples=SAMPLES, eval_batch=EVAL_BATCH, quantize=QUANTIZE)
 
     vols = [rng.random((s, s, s)).astype(np.float32) for _ in range(REPEATS)]
 
     # compile + warmup (excluded, as the program is reused across volumes);
     # lower+compile explicitly so the SAME executable yields cost analysis
     # (_upload: volumes ship in the compute-matched transfer dtype — bf16
-    # halves H2D bytes, the bottleneck on tunneled links, docs/PERF.md)
-    lowered = ev._predict.lower(variables, ev._upload(vols[0]), jax.random.key(99))
+    # halves H2D bytes, the bottleneck on tunneled links, docs/PERF.md;
+    # _maybe_quantize: BENCH_QUANTIZE=int8 lowers the int8 eval tree)
+    lowered = ev._predict.lower(
+        ev._maybe_quantize(variables, sample_vol=vols[0]),
+        ev._upload(vols[0]), jax.random.key(99),
+    )
     compiled = lowered.compile()
     flops = _flops_of(compiled)
     res = ev.evaluate_volume(variables, vols[0], key=jax.random.key(99))

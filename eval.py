@@ -75,6 +75,7 @@ def main() -> int:
         eval_batch=cfg.eval_batch,
         num_views=cfg.num_views,
         mesh=mesh,
+        quantize=cfg.quantize,
     )
     os.makedirs("predictions", exist_ok=True)
     if cfg.save_uncertainty:

@@ -72,6 +72,9 @@ class Config:
     # (dispatch-ahead/fetch-behind; 0 = fully synchronous, bit-identical)
     sharded_volumes: bool = False  # shard the volume pool over the 'data' mesh
     # axis (n_devices x HBM capacity; shard-local gathers via shard_map)
+    quantize: Optional[str] = None  # eval: None | "int8" — post-training
+    # dynamic int8 inference (BN-folded convs on the MXU int8 path; ~1.7x
+    # conv throughput on v5e, pmpu_tpu/models/quantized.py)
     slice_filter: bool = True  # drop all-background slices from TRAINING
     # (reference semantics, mri_dataset.py:45-47). False = include them:
     # whole-volume eval runs every slice (eval.py:100), and a model that
@@ -187,6 +190,10 @@ def _add_extension_args(p: argparse.ArgumentParser):
     g.add_argument("--pipeline-depth", dest="pipeline_depth", type=int, default=2,
                    help="eval: volumes dispatched ahead of the result fetch "
                    "(0 = synchronous; results are bit-identical either way)")
+    g.add_argument("--quantize", dest="quantize", type=str, default=None,
+                   choices=["int8"],
+                   help="post-training dynamic int8 inference (eval/predict/"
+                   "serve; ~1.7x conv throughput on the v5e MXU)")
     g.add_argument("--include-empty-slices", dest="slice_filter",
                    action="store_false",
                    help="train on all-background slices too (reference drops "

@@ -77,6 +77,12 @@ class VolumeEvaluator:
               through the tunnel — docs/PERF.md); the program upcasts to
               f32 before per-slice max normalization, and the model casts
               to its compute dtype at the first conv either way.
+      quantize: None | "int8" — post-training dynamic int8 inference
+              (``pmpu_tpu.models.quantized``): BN-folded int8 convs for the
+              UNet backbone (+ prior encoder for probunet) on the MXU's
+              2× int8 path; transposed convs / heads / fcomb stay in the
+              compute dtype. No reference counterpart; beyond-parity
+              device-compute win (docs/PERF.md).
     """
 
     def __init__(
@@ -88,6 +94,7 @@ class VolumeEvaluator:
         mesh=None,
         mean_z: bool = False,
         input_dtype: Optional[str] = None,
+        quantize: Optional[str] = None,
     ):
         self.task = task
         self.n_samples = 1 if mean_z else n_samples
@@ -107,6 +114,10 @@ class VolumeEvaluator:
         self.input_dtype = np.dtype(
             ml_dtypes.bfloat16 if input_dtype == "bfloat16" else np.float32
         )
+        if quantize not in (None, "int8"):
+            raise ValueError(f"quantize must be None or 'int8', got {quantize!r}")
+        self.quantize = quantize
+        self._qvars_src = None  # identity cache: variables → quantized tree
         self._bases = None if num_views == 3 else jnp.asarray(make_view_bases(num_views))
         self._predict = jax.jit(self._predict_volume)
         self._report = jax.jit(self._dice_report)
@@ -169,11 +180,76 @@ class VolumeEvaluator:
             arr = arr.astype(np.uint8)
         return jax.device_put(arr)
 
+    def _maybe_quantize(self, variables, sample_vol=None):
+        """Trained variables → int8 eval tree (cached by identity) when
+        quantization is on; pass-through otherwise. Called once per
+        evaluate entry so the jitted programs see the quantized pytree.
+
+        ``sample_vol``: when given and the tree is not yet calibrated,
+        static per-layer activation scales are baked from a spread of its
+        normalized slices (first-volume self-calibration) — the runtime
+        quant chain then fuses into conv epilogues with no per-call amax
+        reduction. Without a sample the tree stays dynamic (still correct,
+        ~15-20 ms/volume slower at 128³)."""
+        if not self.quantize:
+            return variables
+        from pmpu_tpu.models import quantized as qz
+
+        if self._qvars_src is not variables:
+            if self.task.is_probabilistic:
+                q = qz.quantize_probunet(variables, self.task.net)
+            else:
+                q = qz.quantize_unet(variables, self.task.net.num_filters)
+            self._qvars = jax.device_put(q)
+            self._qvars_src = variables
+            self._qvars_calibrated = False
+        if sample_vol is not None and not self._qvars_calibrated:
+            cd = getattr(self.task.net, "dtype", None) or jnp.float32
+            slabs = normalize_slabs(view_slabs(jnp.asarray(
+                np.asarray(sample_vol, np.float32))))
+            n = min(48, slabs.shape[0])  # spread across views/positions
+            idx = jnp.linspace(0, slabs.shape[0] - 1, n).astype(jnp.int32)
+            x = slabs[idx][..., None]
+            if self.task.is_probabilistic:
+                qz.calibrate_probunet(self._qvars, x, self.task.net, dtype=cd)
+            else:
+                qz.calibrate_unet(
+                    self._qvars, x, self.task.net.num_filters,
+                    self.task.n_classes, dtype=cd,
+                )
+            self._qvars_calibrated = True
+        return self._qvars
+
     def _model_logits(self, variables, x, key, per_sample: bool = False):
         """Batched model forward → class logits (N,H,W,C), or per-sample
         logits (n_samples,N,H,W,C) when ``per_sample`` — the UNet/prior
         towers run ONCE either way; only the cheap fcomb decode is
-        per-sample (shared-forward GED, VERDICT r1 item 4)."""
+        per-sample (shared-forward GED, VERDICT r1 item 4).
+
+        With ``quantize='int8'`` ``variables`` is the quantized eval tree
+        and the forward runs through ``pmpu_tpu.models.quantized``."""
+        if self.quantize:
+            from pmpu_tpu.models import quantized as qz
+
+            cd = getattr(self.task.net, "dtype", None) or jnp.float32
+            if self.task.is_probabilistic:
+                net: ProbabilisticUNet = self.task.net
+                feats, loc, scale = qz.probunet_features_prior_int8(
+                    variables, x, net, dtype=cd
+                )
+                if self.mean_z:
+                    zs = loc[None]
+                else:
+                    eps = jax.random.normal(key, (self.n_samples,) + loc.shape, loc.dtype)
+                    zs = loc[None] + scale[None] * eps
+                logits = qz.fcomb_decode_samples(
+                    variables["fcomb"], feats, zs, net.no_convs_fcomb, dtype=cd
+                )
+                return logits if per_sample else jnp.mean(logits, axis=0)
+            out = qz.unet_int8(
+                variables, x, self.task.net.num_filters, self.task.n_classes, dtype=cd
+            )
+            return out[None] if per_sample else out
         if self.task.is_probabilistic:
             net: ProbabilisticUNet = self.task.net
             out = net.apply(variables, x, train=False)
@@ -311,7 +387,10 @@ class VolumeEvaluator:
         device→host transfer and per-program dispatch latency hide under the
         next volume's compute (see :meth:`evaluate_store`)."""
         key = key if key is not None else jax.random.key(0)
-        outs = self._predict(variables, self._upload(img_vol), key)
+        outs = self._predict(
+            self._maybe_quantize(variables, sample_vol=img_vol),
+            self._upload(img_vol), key,
+        )
         fused = outs[-1]
         handle = {"fused": fused, "views": outs[:-1]}
         if self._pack_classes and fused.shape[2] % 4 == 0:
@@ -357,7 +436,10 @@ class VolumeEvaluator:
                 jax.vmap(self._predict_volume, in_axes=(None, 0, 0))
             )
             self._report_batched = jax.jit(jax.vmap(self._dice_report, in_axes=(0, 0)))
-        outs = self._predict_batched(variables, vols, keys)
+        outs = self._predict_batched(
+            self._maybe_quantize(variables, sample_vol=np.asarray(img_vols)[0]),
+            vols, keys,
+        )
         result = {"fused": outs[-1]}
         if truth_vols is not None:
             result["dice"] = np.asarray(
@@ -457,6 +539,7 @@ class VolumeEvaluator:
                 else VolumeEvaluator(
                     self.task, n_samples=n_ged_samples, eval_batch=self.eval_batch,
                     num_views=self.num_views, mesh=self.mesh,
+                    quantize=self.quantize,
                 )
             )
             cache[n_ged_samples] = jax.jit(
@@ -464,7 +547,9 @@ class VolumeEvaluator:
                     ev._predict_volume(v, vol, k, per_sample=True)[-1], axis=-1
                 )
             )
-        samples = cache[n_ged_samples](variables, jnp.asarray(img_vol), key)
+        samples = cache[n_ged_samples](
+            self._maybe_quantize(variables), jnp.asarray(img_vol), key
+        )
         truths = jnp.asarray(truth_vol)[None]
         n_classes = self.task.n_classes if self.task.n_classes > 1 else 2
         return float(generalized_energy_distance(samples, truths, n_classes))

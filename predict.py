@@ -98,6 +98,7 @@ def main() -> int:
         n_samples=cfg.eval_samples if cfg.net == "probunet" else 1,
         eval_batch=cfg.eval_batch,
         num_views=cfg.num_views,
+        quantize=cfg.quantize,
     )
     if names is not None:  # batch mode: pipelined serving stream
         os.makedirs(args.output, exist_ok=True)

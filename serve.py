@@ -55,6 +55,8 @@ def get_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute + compact bf16 volume uploads")
+    p.add_argument("--quantize", type=str, default=None, choices=["int8"],
+                   help="post-training dynamic int8 inference")
     p.add_argument("--compile-cache", dest="compile_cache", type=str, default=None)
     return p.parse_args()
 
@@ -100,6 +102,7 @@ def main() -> int:
         n_samples=cfg.eval_samples if cfg.net == "probunet" else 1,
         eval_batch=cfg.eval_batch,
         num_views=cfg.num_views,
+        quantize=args.quantize,
     )
     os.makedirs(args.out, exist_ok=True)
     if args.uncertainty:

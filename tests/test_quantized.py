@@ -1,0 +1,137 @@
+"""Post-training int8 inference (pmpu_tpu/models/quantized.py): graph
+replication exactness (fake-quant), real-int8 segmentation quality vs f32,
+and engine/CLI integration. No reference counterpart (beyond-parity)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pmpu_tpu.config import Config
+from pmpu_tpu.inference.engine import VolumeEvaluator
+from pmpu_tpu.models import quantized as qz
+from pmpu_tpu.models.prob_unet import ProbabilisticUNet
+from pmpu_tpu.train.loop import train_net
+from pmpu_tpu.train.tasks import make_task
+from tests.test_train import make_synthetic_store
+
+RNG = np.random.default_rng(3)
+
+
+def _perturbed_variables(task, s=16, seed=0):
+    """Init variables with non-trivial batch stats so BN folding is tested."""
+    v = dict(
+        task.init_variables(
+            jax.random.key(seed),
+            jnp.zeros((2, s, s, 1)),
+            jnp.zeros((2, s, s, 1), jnp.int32),
+        )
+    )
+
+    def perturb(d):
+        out = {}
+        for k, x in d.items():
+            if isinstance(x, dict):
+                out[k] = perturb(x)
+            elif k == "var":
+                out[k] = x + jnp.asarray(RNG.random(x.shape), jnp.float32)
+            elif k == "mean":
+                out[k] = x + jnp.asarray(RNG.standard_normal(x.shape) * 0.1, jnp.float32)
+            else:
+                out[k] = x
+        return out
+
+    v["batch_stats"] = perturb(dict(v["batch_stats"]))
+    return v
+
+
+def test_fake_quant_unet_matches_flax():
+    """BN-fold + graph replication alone must be float-exact (~1e-5)."""
+    nf = (4, 8, 16)
+    task = make_task("unet", n_classes=3, num_filters=nf)
+    v = _perturbed_variables(task)
+    x = jnp.asarray(RNG.random((2, 16, 16, 1)), jnp.float32)
+    ref = task.net.apply(v, x, train=False)
+    q = qz.quantize_unet(v, nf, fake=True)
+    out = qz.unet_int8(q, x, nf, 3, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_fake_quant_probunet_matches_flax():
+    task = make_task("probunet", num_filters=(4, 8), n_classes=3)
+    v = _perturbed_variables(task)
+    x = jnp.asarray(RNG.random((2, 16, 16, 1)), jnp.float32)
+    ref = task.net.apply(v, x, train=False)
+    q = qz.quantize_probunet(v, task.net, fake=True)
+    feats, loc, scale = qz.probunet_features_prior_int8(q, x, task.net, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(feats), np.asarray(ref.unet_features), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(loc), np.asarray(ref.prior.loc), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(scale), np.asarray(ref.prior.scale), rtol=1e-4)
+    zs = jnp.asarray(RNG.standard_normal((3, 2, task.net.latent_dim)), jnp.float32)
+    l_ref = task.net.apply(v, ref.unet_features, zs, method=ProbabilisticUNet.decode_samples)
+    l_q = qz.fcomb_decode_samples(q["fcomb"], ref.unet_features, zs,
+                                  task.net.no_convs_fcomb, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(l_q), np.asarray(l_ref), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_int8_eval_quality_close_to_f32():
+    """Real int8: trained model's fused dice must track f32 closely and the
+    argmax must agree on nearly every voxel."""
+    store = make_synthetic_store(n=2, s=24, seed=4)
+    cfg = Config(
+        net="unet", n_classes=3, epochs=2, batchsize=8, lr=0.05,
+        num_filters=(8, 16), save_cp=False, seed=0,
+    )
+    state, task, _ = train_net(cfg, store)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    ev_f = VolumeEvaluator(task, eval_batch=24)
+    ev_q = VolumeEvaluator(task, eval_batch=24, quantize="int8")
+    rf = ev_f.evaluate_volume(variables, store.images[0], store.labels[0], jax.random.key(1))
+    rq = ev_q.evaluate_volume(variables, store.images[0], store.labels[0], jax.random.key(1))
+    np.testing.assert_allclose(rq["dice"], rf["dice"], atol=0.03)
+    agree = float(np.mean(rq["argmax"] == rf["argmax"]))
+    assert agree > 0.99, f"argmax agreement {agree}"
+
+
+@pytest.mark.slow
+def test_int8_static_calibration_and_second_volume():
+    """First volume calibrates static scales (baked 'xs' per layer); a
+    SECOND, different volume must still segment consistently (margin
+    absorbs activation drift; saturation is graceful)."""
+    store = make_synthetic_store(n=2, s=24, seed=4)
+    cfg = Config(
+        net="unet", n_classes=3, epochs=2, batchsize=8, lr=0.05,
+        num_filters=(8, 16), save_cp=False, seed=0,
+    )
+    state, task, _ = train_net(cfg, store)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    ev_q = VolumeEvaluator(task, eval_batch=24, quantize="int8")
+    r0 = ev_q.evaluate_volume(variables, store.images[0], store.labels[0], jax.random.key(1))
+    assert ev_q._qvars_calibrated
+    assert all(l.get("xs") is not None for l in qz._walk_unet_layers(ev_q._qvars, (8, 16)))
+
+    ev_f = VolumeEvaluator(task, eval_batch=24)
+    r1q = ev_q.evaluate_volume(variables, store.images[1], store.labels[1], jax.random.key(2))
+    r1f = ev_f.evaluate_volume(variables, store.images[1], store.labels[1], jax.random.key(2))
+    np.testing.assert_allclose(r1q["dice"], r1f["dice"], atol=0.03)
+    assert float(np.mean(r1q["argmax"] == r1f["argmax"])) > 0.99
+
+
+@pytest.mark.slow
+def test_int8_eval_cli(tmp_path):
+    """--quantize int8 reaches the engine from eval.py and produces a
+    segmentation NIfTI."""
+    from tests.test_cli import make_dataset, run_cli
+
+    make_dataset(tmp_path / "data", n=2, s=16)
+    res = run_cli(
+        "eval.py",
+        "-m", "unet", "-d", str(tmp_path / "data" / "train"),
+        "--num-filters", "4,8", "--quantize", "int8",
+        cwd=tmp_path,
+    )
+    assert "avg volume" in res.stdout + res.stderr
+    assert (tmp_path / "predictions").is_dir()
