@@ -104,7 +104,11 @@ def _qconv(x, layer, relu: bool = True, act_dtype=jnp.bfloat16, collect=None):
 
 
 def _qdouble(x, dc, act_dtype=jnp.bfloat16, collect=None):
-    x = _qconv(x, dc[0], act_dtype=act_dtype, collect=collect)
+    # no act_dtype cast between the pair: the f32 value between conv0's
+    # epilogue and conv1's requant stays virtual (one fewer convert in the
+    # fused chain; measured neutral on v5e — XLA was already fusing the
+    # epilogue+requant elementwise chain, see the trace in docs/PERF.md)
+    x = _qconv(x, dc[0], act_dtype=jnp.float32, collect=collect)
     return _qconv(x, dc[1], act_dtype=act_dtype, collect=collect)
 
 
@@ -289,10 +293,12 @@ def probunet_features_prior_int8(q, x, net, dtype=jnp.bfloat16, collect=None):
     li = iter(q["prior_enc"])
     for i in range(len(nf)):
         if i != 0:
-            h = avg_pool_ceil(h)
+            # pool in the compact dtype; within a block the f32 chain stays
+            # virtual so requant fuses with the producing epilogue
+            h = avg_pool_ceil(h.astype(dtype))
         for _j in range(net.no_convs_per_block):
-            h = _qconv(h, next(li), act_dtype=dtype, collect=collect)
-    enc = jnp.mean(h.astype(jnp.float32), axis=(1, 2), keepdims=True)
+            h = _qconv(h, next(li), act_dtype=jnp.float32, collect=collect)
+    enc = jnp.mean(h, axis=(1, 2), keepdims=True)
     mls = jax.lax.conv_general_dilated(
         enc, q["prior_head"]["w"], (1, 1), "SAME", dimension_numbers=_DN
     )[:, 0, 0, :] + q["prior_head"]["b"]
