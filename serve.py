@@ -61,6 +61,13 @@ def get_args():
     return p.parse_args()
 
 
+def _try_load(path):
+    try:
+        return nifti.load(path)
+    except Exception as e:
+        return e
+
+
 def _stable_new_files(watch, seen, sizes):
     """Names whose size is unchanged since the previous scan (upload done)."""
     ready = []
@@ -136,12 +143,20 @@ def _serve_loop(args, cfg, task, variables, ev, cube, seen, sizes, key,
         else:
             ready = _stable_new_files(args.watch, seen, sizes)
         if ready:
+            # parallel loads: gzip decompression and disk reads of a batch
+            # of incoming volumes overlap (the writes are async already)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, len(ready))) as pool:
+                loaded = list(
+                    pool.map(
+                        lambda n: _try_load(os.path.join(args.watch, n)), ready
+                    )
+                )
             vols, names = [], []
-            for n in ready:
-                try:
-                    v = nifti.load(os.path.join(args.watch, n))
-                except Exception as e:  # unreadable upload: skip, retry next scan
-                    logging.warning("skipping %s: %s", n, e)
+            for n, v in zip(ready, loaded):
+                if isinstance(v, Exception):  # unreadable upload: retry next scan
+                    logging.warning("skipping %s: %s", n, v)
                     continue
                 if cube == 0:
                     cube = int(max(v.shape))
