@@ -138,3 +138,23 @@ def test_train_loop_data_parallel_end_to_end():
     state, task, h = train_net(cfg, store)
     assert np.isfinite(h["train_loss"]).all()
     assert int(state.step) > 0
+
+
+def test_sharded_int8_eval_matches_single_device():
+    """--quantize int8 composes with slice-parallel mesh sharding: the
+    sharded quantized program must equal the single-device quantized one
+    (static calibration happens identically — same sample volume)."""
+    store, index, task, tx, state = _setup("unet", n_classes=3)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    vol = store.images[0]
+    truth = store.labels[0]
+
+    ev1 = VolumeEvaluator(task, eval_batch=0, quantize="int8")
+    r1 = ev1.evaluate_volume(variables, vol, truth, key=jax.random.key(3))
+
+    mesh = make_mesh(data=8, model=1)
+    ev8 = VolumeEvaluator(task, eval_batch=0, mesh=mesh, quantize="int8")
+    r8 = ev8.evaluate_volume(variables, vol, truth, key=jax.random.key(3))
+
+    np.testing.assert_array_equal(r1["argmax"], r8["argmax"])
+    np.testing.assert_allclose(r1["dice"], r8["dice"], rtol=1e-5)
