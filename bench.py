@@ -197,6 +197,20 @@ def bench_infer() -> dict:
     )
     compiled = lowered.compile()
     flops = _flops_of(compiled)
+    if flops:
+        # XLA cost analysis counts the lax.map (chunk loop) body ONCE; the
+        # model runs it nchunk times. Non-loop flops (transposes, softmax,
+        # fusion) are negligible next to the convs, so scale by nchunk.
+        from pmpu_tpu.inference.engine import auto_eval_batch
+
+        total = 3 * s
+        if EVAL_BATCH == 0:
+            b = auto_eval_batch(total, s, s)
+        elif EVAL_BATCH < 0:
+            b = total
+        else:
+            b = EVAL_BATCH
+        flops *= -(-total // b)
     res = ev.evaluate_volume(variables, vols[0], key=jax.random.key(99))
     jax.block_until_ready(res["fused"])
     _ = res["argmax"]

@@ -41,6 +41,21 @@ from pmpu_tpu.models.prob_unet import ProbabilisticUNet
 from pmpu_tpu.ops.metrics import volume_per_class_dice
 
 
+def auto_eval_batch(total: int, h: int, w: int) -> int:
+    """Auto chunk size for the slice-slab model map: ~128 slices' worth of
+    128² activations, scaled by slice area, preferring divisors of the slab
+    (no padded slices). Re-measured round 2 (interleaved A/B, device-bound,
+    128³ probunet): chunk 128 → 103.4 ms/volume vs whole-slab 384 → 109.7
+    bf16; 79.7 vs 85.3 int8 — the smaller fcomb/activation working set wins
+    over fewer dispatches."""
+    s2 = h * w
+    target = min(total, max(32, (128 * 128 * 128) // max(s2, 1)))
+    b = max((d for d in range(1, target + 1) if total % d == 0), default=target)
+    if b < target // 2:  # awkward totals: padding beats tiny chunks
+        return target
+    return b
+
+
 def _pack2bit(a):
     """(..., S) uint8 class ids < 4 → (..., S//4), 4 voxels per byte
     (voxel j of each group sits at bits 2j..2j+1)."""
@@ -285,19 +300,7 @@ class VolumeEvaluator:
             )
         total = slabs.shape[0]
         if self.eval_batch == 0:
-            # auto: ~384 slices' worth of 128² activations per chunk
-            # (7-repeat v5e sweep with the factored decode: whole-slab 384
-            # min 0.426/med 0.474 s vs 192 at 0.443/0.543 and padded-256 at
-            # 0.469/0.573), scaled by slice area; prefer a chunk size that
-            # DIVIDES the slab so no padded slices are computed
-            s2 = slabs.shape[1] * slabs.shape[2]
-            target = min(total, max(32, (384 * 128 * 128) // max(s2, 1)))
-            b = max(
-                (d for d in range(1, target + 1) if total % d == 0),
-                default=target,
-            )
-            if b < target // 2:  # awkward totals: padding beats tiny chunks
-                b = target
+            b = auto_eval_batch(total, slabs.shape[1], slabs.shape[2])
         elif self.eval_batch < 0:
             b = total
         else:
