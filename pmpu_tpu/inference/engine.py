@@ -257,9 +257,14 @@ class VolumeEvaluator:
                 else:
                     eps = jax.random.normal(key, (self.n_samples,) + loc.shape, loc.dtype)
                     zs = loc[None] + scale[None] * eps
-                logits = qz.fcomb_decode_samples(
-                    variables["fcomb"], feats, zs, net.no_convs_fcomb, dtype=cd
-                )
+                if "fcomb_q" in variables:
+                    logits = qz.fcomb_decode_samples_int8(
+                        variables["fcomb_q"], feats, zs, dtype=cd
+                    )
+                else:  # fake-quant diagnostic tree: float fcomb
+                    logits = qz.fcomb_decode_samples(
+                        variables["fcomb"], feats, zs, net.no_convs_fcomb, dtype=cd
+                    )
                 return logits if per_sample else jnp.mean(logits, axis=0)
             out = qz.unet_int8(
                 variables, x, self.task.net.num_filters, self.task.n_classes, dtype=cd

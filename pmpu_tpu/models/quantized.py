@@ -231,11 +231,20 @@ def calibrate_unet(q, x, num_filters, n_classes, dtype=jnp.bfloat16,
 
 def calibrate_probunet(q, x, net, dtype=jnp.bfloat16, margin: float = 1.25):
     c: list = []
-    probunet_features_prior_int8(q, x, net, dtype=dtype, collect=c)
+    feats, loc, _scale = probunet_features_prior_int8(q, x, net, dtype=dtype, collect=c)
     layers = list(_walk_unet_layers(q["unet"], list(net.num_filters))) + list(
         q["prior_enc"]
     )
     _bake_scales(layers, c, margin)
+    if "fcomb_q" in q:  # calibrate the fcomb matmuls with prior-mean draws
+        fc: list = []
+        fcomb_decode_samples_int8(q["fcomb_q"], feats, loc[None], dtype=dtype,
+                                  collect=fc)
+        fq = q["fcomb_q"]
+        amaxes = [max(float(np.asarray(a)), 1e-9) for a in fc]
+        fq["k0_feat_xs"] = jnp.asarray(amaxes[0] * margin / 127.0, jnp.float32)
+        for layer, a in zip(fq["layers"], amaxes[1:]):
+            layer["xs"] = jnp.asarray(a * margin / 127.0, jnp.float32)
     return q
 
 
@@ -258,15 +267,59 @@ def _fold_encoder(pp, sp, num_filters, no_convs_per_block, fake: bool):
     return layers
 
 
-def quantize_probunet(variables, net, fake: bool = False):
+def _quant_mat(m):
+    """(cin, cout) matmul weight → int8 with per-output-column scale."""
+    amax = jnp.max(jnp.abs(m), axis=0)
+    sc = jnp.where(amax > 0, amax / 127.0, 1.0)
+    return (
+        jnp.clip(jnp.round(m / sc), -127, 127).astype(jnp.int8),
+        sc.astype(jnp.float32),
+    )
+
+
+def _quant_fcomb(p, no_convs_fcomb, cf):
+    """fcomb params → int8 matmul tree for the factored multi-sample decode.
+
+    The feature half of layer 0 and the hidden 1×1 layers (the S-sample
+    full-resolution bulk) go int8; the tiny z-half and the LAST layer stay
+    float — the last layer produces the logits that get averaged and
+    softmaxed, so its precision is protected."""
+    k0 = p["layer0"]["conv"]["kernel"][0, 0]  # (cf + latent, f0)
+    feat_w, feat_sc = _quant_mat(k0[:cf, :])
+    layers = []
+    for i in range(1, no_convs_fcomb - 1):
+        w, ws = _quant_mat(p[f"layer{i}"]["conv"]["kernel"][0, 0])
+        layers.append(
+            {"w": w, "ws": ws, "b": p[f"layer{i}"]["conv"]["bias"].astype(jnp.float32)}
+        )
+    return {
+        "k0_feat": feat_w,
+        "k0_feat_sc": feat_sc,
+        "k0_z": k0[cf:, :],
+        "b0": p["layer0"]["conv"]["bias"],
+        "layers": layers,
+        "last_w": p["last_layer"]["conv"]["kernel"][0, 0],
+        "last_b": p["last_layer"]["conv"]["bias"],
+    }
+
+
+def quantize_probunet(variables, net, fake: bool = False,
+                      quantize_fcomb: bool = False):
     """Trained ProbabilisticUNet variables → quantized eval tree.
 
-    Quantizes the two FLOP-heavy towers (UNet backbone, prior encoder);
-    keeps the prior μ/logσ head and fcomb params in float (they are 1×1
-    heads over tiny tensors). The posterior tower is not needed at eval.
-    """
+    Quantizes the FLOP-heavy towers (UNet backbone, prior encoder); keeps
+    the prior μ/logσ head and fcomb in float. The posterior tower is not
+    needed at eval. ``fake`` keeps everything float (graph-replication
+    diagnostic).
+
+    ``quantize_fcomb``: ALSO int8 the fcomb hidden matmuls — kept as a
+    validated-but-off option (committed negative result): interleaved A/B
+    on v5e measured it neutral-to-slightly-slower than the bf16 factored
+    decode (120.7 vs 118.1 ms/volume min under load) — the S-sample
+    full-resolution matmuls are HBM-bound and the int32 accumulators give
+    back the int8 math win. Quality is fine (tested)."""
     p, bs = variables["params"], variables["batch_stats"]
-    return {
+    q = {
         "unet": quantize_unet(
             {"params": p["unet"], "batch_stats": bs["unet"]}, net.num_filters, fake
         ),
@@ -280,6 +333,11 @@ def quantize_probunet(variables, net, fake: bool = False):
         },
         "fcomb": jax.tree_util.tree_map(lambda a: a, p["fcomb"]),
     }
+    if quantize_fcomb and not fake:
+        q["fcomb_q"] = _quant_fcomb(
+            p["fcomb"], net.no_convs_fcomb, int(net.num_filters[0])
+        )
+    return q
 
 
 def probunet_features_prior_int8(q, x, net, dtype=jnp.bfloat16, collect=None):
@@ -305,6 +363,41 @@ def probunet_features_prior_int8(q, x, net, dtype=jnp.bfloat16, collect=None):
     latent = mls.shape[-1] // 2
     loc, log_sigma = mls[:, :latent], mls[:, latent:]
     return feats, loc, jnp.exp(log_sigma)
+
+
+def _qtensor(x, static_xs, collect):
+    """Per-tensor int8 quantization of an activation (static scale when
+    calibrated, dynamic amax otherwise); returns (int8, scale)."""
+    if collect is not None:
+        collect.append(jnp.max(jnp.abs(x)))
+    if static_xs is not None:
+        xs = static_xs
+    else:
+        xs = jnp.maximum(jnp.max(jnp.abs(x)) / 127.0, 1e-12)
+    return jnp.clip(jnp.round(x / xs), -127, 127).astype(jnp.int8), xs
+
+
+def fcomb_decode_samples_int8(fq, unet_features, zs, dtype=jnp.bfloat16,
+                              collect=None):
+    """int8 factored multi-sample fcomb decode (see _quant_fcomb): the
+    feature-half matmul and hidden layers run int8 on the MXU; z-half and
+    the logit layer stay float."""
+    cd = dtype or jnp.float32
+    f = unet_features.astype(jnp.float32)
+    f_i8, fxs = _qtensor(f, fq.get("k0_feat_xs"), collect)
+    fh = jnp.einsum(
+        "nhwc,cf->nhwf", f_i8, fq["k0_feat"], preferred_element_type=jnp.int32
+    ).astype(jnp.float32) * (fxs * fq["k0_feat_sc"])
+    z_half = zs.astype(jnp.float32) @ fq["k0_z"] + fq["b0"]
+    x = jax.nn.relu(fh[None] + z_half[:, :, None, None, :])
+    for layer in fq["layers"]:
+        x_i8, xs = _qtensor(x, layer.get("xs"), collect)
+        acc = jnp.einsum(
+            "snhwc,cf->snhwf", x_i8, layer["w"], preferred_element_type=jnp.int32
+        )
+        x = jax.nn.relu(acc.astype(jnp.float32) * (xs * layer["ws"]) + layer["b"])
+    out = jnp.einsum("snhwc,cf->snhwf", x.astype(cd), fq["last_w"].astype(cd))
+    return (out.astype(jnp.float32) + fq["last_b"]).astype(jnp.float32)
 
 
 def fcomb_decode_samples(fcomb_params, unet_features, zs, no_convs_fcomb,

@@ -121,6 +121,41 @@ def test_int8_static_calibration_and_second_volume():
 
 
 @pytest.mark.slow
+def test_int8_probunet_quality_close_to_f32():
+    """Probunet int8 (backbone + prior + fcomb matmuls): prior-MEAN decode
+    (deterministic) must track the f32 engine closely."""
+    store = make_synthetic_store(n=2, s=24, seed=4)
+    cfg = Config(
+        net="probunet", n_classes=3, epochs=2, batchsize=8, lr=0.05,
+        num_filters=(8, 16), save_cp=False, seed=0,
+    )
+    state, task, _ = train_net(cfg, store)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    ev_f = VolumeEvaluator(task, eval_batch=24, mean_z=True)
+    ev_q = VolumeEvaluator(task, eval_batch=24, mean_z=True, quantize="int8")
+    rf = ev_f.evaluate_volume(variables, store.images[0], store.labels[0], jax.random.key(1))
+    rq = ev_q.evaluate_volume(variables, store.images[0], store.labels[0], jax.random.key(1))
+    np.testing.assert_allclose(rq["dice"], rf["dice"], atol=0.03)
+    assert float(np.mean(rq["argmax"] == rf["argmax"])) > 0.99
+
+    # the off-by-default int8 fcomb decode (documented negative perf result)
+    # must still be numerically sound: compare against the float decode
+    import jax.numpy as jnp
+
+    qf = qz.quantize_probunet(variables, task.net, quantize_fcomb=True)
+    x = jnp.asarray(RNG.random((2, 24, 24, 1)), jnp.float32)
+    qz.calibrate_probunet(qf, x, task.net, dtype=jnp.float32)
+    feats, loc, _ = qz.probunet_features_prior_int8(qf, x, task.net, dtype=jnp.float32)
+    zs = loc[None]
+    l_f = qz.fcomb_decode_samples(qf["fcomb"], feats, zs, task.net.no_convs_fcomb,
+                                  dtype=jnp.float32)
+    l_q = qz.fcomb_decode_samples_int8(qf["fcomb_q"], feats, zs, dtype=jnp.float32)
+    agree = float(np.mean(np.argmax(l_q, -1) == np.argmax(l_f, -1)))
+    assert agree > 0.99, agree
+
+
+@pytest.mark.slow
 def test_int8_eval_cli(tmp_path):
     """--quantize int8 reaches the engine from eval.py and produces a
     segmentation NIfTI."""
