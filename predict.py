@@ -50,6 +50,10 @@ def get_args():
     p.add_argument("--eval-batch", dest="eval_batch", type=int, default=0)
     p.add_argument("--num-views", dest="num_views", type=int, default=3)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute + compact bf16 volume uploads")
+    p.add_argument("--quantize", type=str, default=None, choices=["int8"],
+                   help="post-training dynamic int8 inference")
     return p.parse_args()
 
 
@@ -61,7 +65,8 @@ def main() -> int:
     enable_compile_cache(args.compile_cache)
     cfg = Config(net=args.net, n_classes=3, load=args.load,
                  eval_samples=args.eval_samples, eval_batch=args.eval_batch,
-                 num_views=args.num_views, seed=args.seed)
+                 num_views=args.num_views, seed=args.seed, bf16=args.bf16,
+                 quantize=args.quantize)
     task = None if args.load else make_task(cfg.net, **cfg.task_kwargs())
 
     if os.path.isdir(args.input):
