@@ -70,3 +70,19 @@ def test_bench_skip_train():
     rec = _run_bench("infer", skip_train="1")
     assert "train_slices_per_sec_per_chip" not in rec
     assert rec["value"] > 0
+
+
+def test_flops_scaling_matches_chunk_plan():
+    """bench.py scales XLA's once-per-chunk-loop FLOPs by nchunk using the
+    same plan as the engine — pin the plan so MFU accounting can't silently
+    break when the auto heuristic changes."""
+    from pmpu_tpu.inference.engine import auto_eval_batch
+
+    # 128³: 3·128 = 384 slices, 128² area → chunk 128, 3 chunks
+    assert auto_eval_batch(384, 128, 128) == 128
+    # 64³: 192 slices of 64² → budget 512 ≥ total → whole slab, 1 chunk
+    assert auto_eval_batch(192, 64, 64) == 192
+    # 256³: 768 slices of 256² → budget 32, divides → 24 chunks
+    assert auto_eval_batch(768, 256, 256) == 32
+    # divisor preference: totals with awkward factors fall back to padding
+    assert auto_eval_batch(97 * 3, 128, 128) in (97, 128)
