@@ -24,6 +24,13 @@ Extra fields on the same line (measurement protocol, VERDICT r1 items 1/7/8):
   achieved_tflops   flops_per_volume / min_s / 1e12
   mfu               achieved_tflops / peak (peak from the device kind;
                     BENCH_PEAK_TFLOPS overrides; null off-TPU)
+  device_compute_s_per_volume / device_mfu
+                    pure device program time: BENCH_DEVICE_REPEATS chained
+                    dispatches of the same uploaded volume, one scalar
+                    fetch — tunnel transfer + dispatch latency amortize
+                    out (protocol of docs/PERF.md). The wall-clock mfu
+                    below it is transfer-bound through the shared tunnel;
+                    this is the roofline number the chip actually runs at
   stream_s_per_volume / stream_vs_baseline / stream_mfu
                     amortized sec/volume over a pipelined stream of
                     BENCH_STREAM distinct volumes (dispatch-ahead/
@@ -225,6 +232,21 @@ def bench_infer() -> dict:
     sec_min = float(np.min(times))
     sec_med = float(np.median(times))
 
+    # pure device compute: chained dispatches of the already-uploaded
+    # volume, ONE scalar fetch at the end — device execution is in-order,
+    # so the fetch syncs all n programs; H2D/D2H and per-dispatch tunnel
+    # latency amortize to ~zero (docs/PERF.md protocol)
+    n_dev = int(os.environ.get("BENCH_DEVICE_REPEATS", "10"))
+    qvars = ev._maybe_quantize(variables, sample_vol=vols[0])
+    up = ev._upload(vols[0])
+    last = ev._predict(qvars, up, jax.random.key(1000))  # warm + stage inputs
+    float(np.asarray(last[-1][0, 0, 0, 0]))
+    t0 = time.perf_counter()
+    for i in range(n_dev):
+        last = ev._predict(qvars, up, jax.random.key(1001 + i))
+    float(np.asarray(last[-1][0, 0, 0, 0]))  # one-element sync
+    dev_s = (time.perf_counter() - t0) / n_dev
+
     # throughput over a pipelined stream of distinct volumes (the reference
     # eval loop IS a stream over the test set, eval.py:104-216): volume i+1's
     # program dispatches before volume i's segmentation is fetched, hiding
@@ -260,6 +282,10 @@ def bench_infer() -> dict:
         "min_s": round(sec_min, 4),
         "median_s": round(sec_med, 4),
         "repeat_times_s": [round(t, 4) for t in times],
+        "device_compute_s_per_volume": round(dev_s, 4),
+        "device_mfu": (
+            round(flops / dev_s / 1e12 / peak, 4) if flops and peak else None
+        ),
         "stream_s_per_volume": round(stream_s, 4),
         "stream_round_times_s": [round(t, 4) for t in stream_rounds],
         "stream_volumes": stream_n,

@@ -49,6 +49,9 @@ def test_bench_infer_contract_and_protocol():
     assert rec["min_s"] <= rec["median_s"]
     assert rec["value"] == rec["median_s"]
     assert rec["flops_per_volume"] is None or rec["flops_per_volume"] > 0
+    # pure device-program time via chained dispatches; can't exceed the
+    # wall-clock of a full fetch-synced repeat
+    assert 0 < rec["device_compute_s_per_volume"] <= rec["min_s"] * 1.5
     # off-TPU: peak unknown → mfu null; on TPU it must be set
     if rec["peak_tflops"] is None:
         assert rec["mfu"] is None
