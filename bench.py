@@ -174,9 +174,20 @@ def bench_infer() -> dict:
     import jax
     import jax.numpy as jnp
 
+    import tempfile
+
     from pmpu_tpu.utils.profiling import enable_compile_cache
 
-    enable_compile_cache()  # $PMPU_COMPILE_CACHE only; no-op otherwise
+    # Persistent compile cache, always on for the bench: the program is
+    # compiled once for cost analysis (AOT .lower().compile(), which does
+    # not populate jax.jit's dispatch cache) and once more on the first
+    # jitted call — with the cache the second is a <1 s deserialize, and
+    # repeat bench runs skip XLA compiles entirely. $PMPU_COMPILE_CACHE
+    # overrides the default tmp location.
+    enable_compile_cache(
+        os.environ.get("PMPU_COMPILE_CACHE")
+        or os.path.join(tempfile.gettempdir(), "pmpu-bench-xla-cache")
+    )
 
     from pmpu_tpu.inference.engine import VolumeEvaluator
     from pmpu_tpu.train.tasks import make_task

@@ -47,6 +47,7 @@ class Config:
     logdir: Optional[str] = None
     save_cp: bool = True
     checkpoint_every: int = 1  # epochs between checkpoints (reference: 1)
+    async_checkpoints: bool = False  # per-epoch saves via async Orbax (non-blocking)
     num_views: int = 3  # 3 = reference standard axes; >3 = isotropic oblique
     eval_samples: int = 5  # prior samples per slice for probunet eval (eval.py:148)
     eval_batch: int = 0  # slices per model invocation at eval; 0 = whole view
@@ -173,6 +174,10 @@ def _add_extension_args(p: argparse.ArgumentParser):
                    help="report GED^2 over N whole-volume samples (probunet)")
     g.add_argument("--checkpoint-every", dest="checkpoint_every", type=int, default=1,
                    help="epochs between checkpoints (device->host fetch of the full state)")
+    g.add_argument("--async-checkpoints", dest="async_checkpoints", action="store_true",
+                   help="per-epoch checkpoints via async Orbax: serialization "
+                   "overlaps the next epoch instead of stalling on the "
+                   "device->host state fetch (directory format)")
     g.add_argument("--elastic-alpha", dest="elastic_alpha", type=float, default=0.0)
     g.add_argument("--eval-mode", dest="eval_mode", type=str, default="sequential",
                    choices=["sequential", "batched"],

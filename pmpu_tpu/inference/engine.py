@@ -444,8 +444,11 @@ class VolumeEvaluator:
                 jax.vmap(self._predict_volume, in_axes=(None, 0, 0))
             )
             self._report_batched = jax.jit(jax.vmap(self._dice_report, in_axes=(0, 0)))
+        # calibration sample only when quantizing — np.asarray on a
+        # device-resident (V,S,S,S) batch would fetch EVERY volume to host
+        sample = np.asarray(img_vols[0]) if self.quantize else None
         outs = self._predict_batched(
-            self._maybe_quantize(variables, sample_vol=np.asarray(img_vols)[0]),
+            self._maybe_quantize(variables, sample_vol=sample),
             vols, keys,
         )
         result = {"fused": outs[-1]}

@@ -101,14 +101,20 @@ class ShardedTripleBatcher:
             rows = triples[owner == k].copy()
             rows[:, 0] -= k * self.vols_per_shard  # globalize → localize
             self.shard_rows.append(rows)
+        # real (pre-pad) row count per shard: the weight for the eval
+        # step's weighted psum — a shard whose rows are ALL fabricated
+        # (empty shard padded with sentinel rows below) must contribute
+        # zero to the reported validation loss/dice
+        self.shard_real_rows = np.array([len(r) for r in self.shard_rows], np.float32)
         if pad:
             target = max(max(len(r) for r in self.shard_rows), 1)
             padded = []
             for k, rows in enumerate(self.shard_rows):
                 if len(rows) == 0:
-                    # shard with no rows: borrow from the fullest shard's
-                    # scans? impossible (scan ids are shard-local) — repeat
-                    # local scan 0, view 0, slice 0 as a sentinel batch
+                    # a rowless shard cannot borrow rows (scan ids are
+                    # shard-local): run local scan 0/view 0/slice 0 as a
+                    # sentinel batch; shard_real_rows[k] == 0 zero-weights
+                    # its metrics
                     rows = np.zeros((target, 3), np.int32)
                 elif len(rows) < target:
                     reps = -(-target // len(rows))

@@ -162,10 +162,17 @@ def _shard_map(shard_map, f, mesh, in_specs, out_specs):
 
 def make_hostlocal_eval_step(task, mesh: Mesh):
     """Validation twin of ``make_hostlocal_dp_train_step``: per-shard
-    gather + val loss + per-class dice, loss/dice pmean'd over 'data'
-    (a per-shard-dice average — a monitoring statistic, not the exact
-    global-batch dice), preds/img/msk returned as the re-assembled global
-    batch for TB image logging."""
+    gather + val loss + per-class dice, loss/dice reduced over 'data' by a
+    WEIGHTED psum — each shard's scalars weigh in by its real (pre-pad)
+    validation row count (``ShardedTripleBatcher.shard_real_rows``), so a
+    shard whose block is entirely fabricated pad rows contributes zero to
+    the metric that drives plateau LR / best-checkpoint selection. (Still a
+    per-shard-dice average — a monitoring statistic, not the exact
+    global-batch dice.) preds/img/msk return as the re-assembled global
+    batch for TB image logging.
+
+    signature: step(state, images, labels, triples, weights (n_shards,), key)
+    """
     try:
         from jax import shard_map
     except ImportError:
@@ -174,20 +181,22 @@ def make_hostlocal_eval_step(task, mesh: Mesh):
     from pmpu_tpu.data.sampler import sample_batch
     from pmpu_tpu.ops.metrics import per_class_dice
 
-    def step(state, images, labels, triples, key):
+    def step(state, images, labels, triples, wts, key):
         key = jax.random.fold_in(key, jax.lax.axis_index("data"))
         img, msk = sample_batch(images, labels, triples)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         loss, preds = task.val_loss(variables, img, msk, key)
-        loss = jax.lax.pmean(loss, "data")
-        dice = jax.lax.pmean(per_class_dice(preds, msk, task.n_classes), "data")
+        w = wts[0]  # this shard's scalar weight
+        denom = jax.lax.psum(w, "data") + 1e-12
+        loss = jax.lax.psum(loss * w, "data") / denom
+        dice = jax.lax.psum(per_class_dice(preds, msk, task.n_classes) * w, "data") / denom
         return loss, dice, preds, img, msk
 
     sharded = _shard_map(
         shard_map,
         step,
         mesh,
-        in_specs=(P(), P("data"), P("data"), P("data"), P()),
+        in_specs=(P(), P("data"), P("data"), P("data"), P("data"), P()),
         out_specs=(P(), P(), P("data"), P("data"), P("data")),
     )
     return jax.jit(sharded)

@@ -55,6 +55,11 @@ def restore_train_state(path: str, state, strict: bool = False):
     ``state``. ``strict=False`` mirrors the reference's lenient
     ``load_state_dict(strict=False)``: missing/mismatched leaves keep their
     current values."""
+    if os.path.isdir(path):
+        # Orbax directory checkpoint (e.g. an --async-checkpoints epoch
+        # save): exact-structure restore; meta returned as the payload
+        state, meta = load_checkpoint_orbax(path, state)
+        return state, meta
     payload = load_checkpoint(path)
 
     def merge(cur, new):

@@ -232,9 +232,19 @@ def train_net(cfg: Config, store: VolumeStore, interrupt_flag=None):
         from pmpu_tpu.parallel.hostdata import ShardedTripleBatcher
 
         per_shard = max(per_step // n_shards, 1)
+        train_bat = ShardedTripleBatcher(index[train_idx], len(store), n_shards)
+        if train_bat.steps_per_epoch(per_shard) == 0:
+            # drop-last over the SMALLEST shard — without this check an
+            # undersized shard makes every epoch a silent no-op
+            raise ValueError(
+                f"--sharded-volumes: smallest shard has "
+                f"{min(len(r) for r in train_bat.shard_rows)} training rows "
+                f"< per-shard batch {per_shard}; use a smaller batch, fewer "
+                "shards, or --include-empty-slices."
+            )
         sv = (
             dat,
-            ShardedTripleBatcher(index[train_idx], len(store), n_shards),
+            train_bat,
             ShardedTripleBatcher(index[val_idx], len(store), n_shards, pad=True)
             if len(val_idx)
             else None,
@@ -323,6 +333,34 @@ def _run_epochs(
     timer = StepTimer(slices_per_step=per_step)
     history["perf"] = timer.summary()
     global_step = 0
+    ckptr_box = [None]  # in-flight async Orbax save (--async-checkpoints)
+    try:
+        state = _epoch_loop(
+            cfg, task, latest, train_step, eval_step, plateau, writer, key,
+            images_d, labels_d, index, train_idx, val_idx, rng, per_step,
+            n_classes, history, interrupt_flag, stream_pipe, sv,
+            state, timer, global_step, ckptr_box,
+        )
+    finally:
+        _swap_pending(ckptr_box, None)  # drain the last in-flight save
+    return state
+
+
+def _swap_pending(box, new_ckptr):
+    """Wait out the previous async Orbax save (only one may be in flight
+    per target) and track the new one for the final drain."""
+    if box[0] is not None:
+        box[0].wait_until_finished()
+        box[0].close()
+    box[0] = new_ckptr
+
+
+def _epoch_loop(
+    cfg, task, latest, train_step, eval_step, plateau, writer, key,
+    images_d, labels_d, index, train_idx, val_idx, rng, per_step,
+    n_classes, history, interrupt_flag, stream_pipe, sv,
+    state, timer, global_step, ckptr_box,
+):
     for epoch in range(cfg.epochs):
         # ---------------- train phase ----------------
         order = rng.permutation(len(train_idx))
@@ -406,6 +444,12 @@ def _run_epochs(
                 else []
             )
             val_steps = len(val_batches)
+            if val_batcher is not None:
+                # per-shard weights for the eval step's weighted psum:
+                # fully-padded (empty) shards contribute zero
+                val_wts = jax.device_put(
+                    jnp.asarray(val_batcher.shard_real_rows), dat
+                )
         else:
             val_steps = max(len(val_idx) // per_step, 1) if len(val_idx) else 0
             val_sels = [
@@ -425,7 +469,9 @@ def _run_epochs(
             key, sk = jax.random.split(key)
             if sv is not None:
                 t = jax.device_put(jnp.asarray(val_batches[i]), dat)
-                vloss, dice, preds, img, msk = eval_step(state, images_d, labels_d, t, sk)
+                vloss, dice, preds, img, msk = eval_step(
+                    state, images_d, labels_d, t, val_wts, sk
+                )
             elif stream_pipe is None:
                 triples = jnp.asarray(index[val_sels[i]])
                 vloss, dice, preds, img, msk = eval_step(state, images_d, labels_d, triples, sk)
@@ -467,8 +513,18 @@ def _run_epochs(
             history["val_dice"].append(avg_dice.tolist())
 
         if cfg.save_cp and (epoch + 1) % max(cfg.checkpoint_every, 1) == 0:
-            path = os.path.join(cfg.checkpoint_dir, f"{task.name}_checkpoint{epoch}.pt")
-            ckpt.save_checkpoint(path, state, plateau, key, extra={"model_config": _model_config(cfg, task)})
+            if cfg.async_checkpoints:
+                # non-blocking: Orbax serializes device shards in the
+                # background while the next epoch trains; the previous
+                # in-flight save is drained first (one per target)
+                path = os.path.join(cfg.checkpoint_dir, f"{task.name}_checkpoint{epoch}.orbax")
+                _swap_pending(ckptr_box, ckpt.save_checkpoint_orbax_async(
+                    path, state, plateau, key,
+                    extra={"model_config": _model_config(cfg, task)},
+                ))
+            else:
+                path = os.path.join(cfg.checkpoint_dir, f"{task.name}_checkpoint{epoch}.pt")
+                ckpt.save_checkpoint(path, state, plateau, key, extra={"model_config": _model_config(cfg, task)})
             log.info("Saved model %s", path)
         log.info(
             "epoch %d/%d done (%.2fs/step median, %.0f slices/s/chip)",

@@ -70,9 +70,12 @@ def main() -> int:
     task = None if args.load else make_task(cfg.net, **cfg.task_kwargs())
 
     if os.path.isdir(args.input):
-        names = sorted(os.listdir(args.input))
+        # NIfTI entries only — stray files/subdirs must not sink the batch
+        # (same filter as serve.py's watcher)
+        names = sorted(n for n in os.listdir(args.input)
+                       if n.endswith(".nii") or n.endswith(".nii.gz"))
         if not names:
-            logging.error("no volumes in %s", args.input)
+            logging.error("no .nii/.nii.gz volumes in %s", args.input)
             return 1
         raw = [nifti.load(os.path.join(args.input, n)) for n in names]
         cube = max(max(v.shape) for v in raw)

@@ -136,6 +136,7 @@ def _serve_loop(args, cfg, task, variables, ev, cube, seen, sizes, key,
     import jax
     import jax.numpy as jnp
 
+    fails: dict = {}  # name → failed-load count (quarantine at 3)
     while True:
         if args.once:  # single scan: everything already on disk is "stable"
             ready = [n for n in sorted(os.listdir(args.watch))
@@ -155,8 +156,17 @@ def _serve_loop(args, cfg, task, variables, ev, cube, seen, sizes, key,
                 )
             vols, names = [], []
             for n, v in zip(ready, loaded):
-                if isinstance(v, Exception):  # unreadable upload: retry next scan
-                    logging.warning("skipping %s: %s", n, v)
+                if isinstance(v, Exception):
+                    # retry covers a still-flushing upload the size check
+                    # missed; a file that fails repeatedly is corrupt —
+                    # quarantine it so it isn't re-decompressed every poll
+                    fails[n] = fails.get(n, 0) + 1
+                    if fails[n] >= 3:
+                        logging.error("quarantining %s after %d failed loads: %s",
+                                      n, fails[n], v)
+                        seen.add(n)
+                    else:
+                        logging.warning("skipping %s (attempt %d): %s", n, fails[n], v)
                     continue
                 if cube == 0:
                     cube = int(max(v.shape))

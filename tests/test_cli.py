@@ -101,6 +101,9 @@ def test_cli_batch_predict_matches_per_file(tmp_path):
         cwd=tmp_path,
     )
     ck = tmp_path / "ckpt" / "unet_model.pt"
+    # stray non-NIfTI entries must be ignored, not crash the batch
+    (imgs / "README.txt").write_text("not a volume")
+    (imgs / ".hidden").mkdir()
     run_cli(
         "predict.py", "-m", "unet", "-f", str(ck), "-i", str(imgs),
         "-o", str(tmp_path / "segs"), "--uncertainty", str(tmp_path / "uncs"),

@@ -186,3 +186,77 @@ def test_train_net_sharded_volumes_end_to_end(tmp_path):
     assert np.isfinite(hist["val_loss"]).all()
     # loss should drop on this separable synthetic task
     assert hist["train_loss"][-1] < hist["train_loss"][0] * 1.5
+
+
+def test_sharded_triple_batcher_zero_weights_empty_pad_shard():
+    """pad=True fills a rowless shard with sentinel rows but records zero
+    real rows for it — the eval step's weighted psum then excludes the
+    fabricated block from the reported validation metric."""
+    from pmpu_tpu.parallel.hostdata import ShardedTripleBatcher
+
+    triples = np.array([[0, 0, 1], [1, 0, 2]], np.int32)  # shard 1 (scans 2-3): empty
+    b = ShardedTripleBatcher(triples, n_volumes=4, n_shards=2, pad=True)
+    np.testing.assert_array_equal(b.shard_real_rows, [2.0, 0.0])
+    (batch,) = list(b.epoch_batches(2, np.random.default_rng(0)))
+    assert batch.shape == (4, 3)
+    np.testing.assert_array_equal(batch[2:], 0)  # sentinel rows, zero-weighted
+
+
+def test_train_net_sharded_volumes_rejects_zero_steps():
+    """An undersized smallest shard must raise, not silently train 0 steps
+    per epoch (drop-last over the min shard)."""
+    import pytest
+
+    from pmpu_tpu.config import Config
+    from pmpu_tpu.data.volumes import VolumeStore
+    from pmpu_tpu.train.loop import train_net
+
+    s = 12
+    lbls = np.zeros((8, s, s, s), np.int32)
+    lbls[:, 4:8, 4:8, 4:8] = 1
+    lbls[3] = 0  # volume 3 all-background: its shard loses every filtered row
+    imgs = np.random.default_rng(0).random((8, s, s, s)).astype(np.float32)
+    store = VolumeStore.from_arrays(imgs, lbls)
+    cfg = Config(
+        net="unet", n_classes=3, num_filters=(4, 8), epochs=1, batchsize=8,
+        save_cp=False, val=0.0, sharded_volumes=True,
+    )
+    with pytest.raises(ValueError, match="smallest shard"):
+        train_net(cfg, store)
+
+
+def test_train_net_async_checkpoints_resumable(tmp_path):
+    """--async-checkpoints: per-epoch saves are Orbax dirs written in the
+    background; restore_train_state loads them directly (resume path)."""
+    from pmpu_tpu.config import Config
+    from pmpu_tpu.data.volumes import VolumeStore
+    from pmpu_tpu.train import checkpoint as ckpt
+    from pmpu_tpu.train.loop import train_net
+    from pmpu_tpu.train.steps import create_train_state, make_optimizer
+
+    s = 12
+    rng = np.random.default_rng(1)
+    lbls = np.zeros((2, s, s, s), np.int32)
+    lbls[:, 4:8, 4:8, 4:8] = 1
+    imgs = (rng.random((2, s, s, s)) * 0.2 + 0.7 * (lbls > 0)).astype(np.float32)
+    store = VolumeStore.from_arrays(imgs, lbls)
+    cfg = Config(
+        net="unet", n_classes=3, num_filters=(4, 8), epochs=2, batchsize=4,
+        save_cp=True, val=0.0, async_checkpoints=True,
+        checkpoint_dir=str(tmp_path / "cp"),
+    )
+    state, task, hist = train_net(cfg, store)
+    d = tmp_path / "cp" / "unet_checkpoint1.orbax"
+    assert d.is_dir() and (d / "meta.json").exists()
+    like = create_train_state(
+        task, jax.random.key(0),
+        jnp.zeros((1, s, s, 1), jnp.float32), jnp.zeros((1, s, s, 1), jnp.int32),
+        make_optimizer(),
+    )
+    restored, meta = ckpt.restore_train_state(str(d), like)
+    assert meta["extra"]["model_config"]["net"] == "unet"
+    for a, b in zip(
+        jax.tree_util.tree_leaves(restored.params),
+        jax.tree_util.tree_leaves(state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
