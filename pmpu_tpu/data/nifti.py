@@ -143,9 +143,10 @@ def load(path, dtype=np.float32) -> np.ndarray:
     arr = arr.reshape(shape, order="F")
     out = arr.astype(dtype)
     slope, inter = hdr.scl_slope, hdr.scl_inter
-    if slope not in (0.0, 1.0) or inter != 0.0:
-        s = slope if slope != 0.0 else 1.0
-        out = out * dtype(s) + dtype(inter)
+    # scl_slope == 0 means "scaling unset" per the NIfTI-1 spec; nibabel's
+    # get_fdata ignores BOTH fields then (inter included) — match that
+    if slope != 0.0 and (slope != 1.0 or inter != 0.0):
+        out = out * dtype(slope) + dtype(inter)
     return np.ascontiguousarray(out)
 
 

@@ -63,11 +63,15 @@ class PrefetchPipeline:
         stop = object()
 
         def producer():
+            # a gather/device_put error must reach the consumer — a bare
+            # stop sentinel would silently truncate the epoch
             try:
                 for triples in triple_batches:
                     batch = gather_host_batch(self.images, self.labels, np.asarray(triples))
                     q.put(self._put(batch))
-            finally:
+            except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+                q.put(e)
+            else:
                 q.put(stop)
 
         t = threading.Thread(target=producer, daemon=True)
@@ -76,5 +80,8 @@ class PrefetchPipeline:
             item = q.get()
             if item is stop:
                 break
+            if isinstance(item, BaseException):
+                t.join()
+                raise item
             yield item
         t.join()

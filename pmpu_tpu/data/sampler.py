@@ -111,7 +111,12 @@ def make_oblique_sampler(bases):
     Returns sampler(images (N,S,S,S), labels (N,S,S,S), triples (B,3)) →
     ((B,S,S,1) f32 normalized trilinear image planes, (B,S,S,1) i32
     nearest-neighbor label planes). For the standard axes at integer
-    offsets this reduces to ``sample_batch`` exactly (tested).
+    offsets this samples the same plane CONTENT as ``sample_batch``, but
+    ``view_basis`` for the y/z normals yields an in-plane flip/transpose of
+    the axis-aligned orientation (tests compare as multisets) — per-view
+    orientation is self-consistent across training and the oblique eval's
+    ``resample_view_to_grid`` inverse, so do NOT mix k-view checkpoints
+    with the num_views==3 axis-aligned eval path expecting bit parity.
     """
     bases = jnp.asarray(bases, jnp.float32)
 
@@ -276,9 +281,11 @@ def oblique_plane(
     """Sample the plane at signed distance ``offset`` (from the cube center)
     along basis row 2 (the view normal), spanned by basis rows 0-1.
 
-    With an axis-aligned basis and integer offsets this reproduces
-    ``take_plane`` bit-exactly (tested). ``nearest=True`` rounds coordinates
-    (for label volumes).
+    With the identity-oriented x-normal basis (``view_basis([1,0,0])``) and
+    integer offsets this reproduces ``take_plane`` bit-exactly (tested);
+    the y/z ``view_basis`` orientations sample the same plane up to an
+    in-plane flip/transpose (see ``make_oblique_sampler``).
+    ``nearest=True`` rounds coordinates (for label volumes).
     """
     s = volume.shape[0]
     size = out_size or s

@@ -110,6 +110,13 @@ class VolumeStore:
             from pmpu_tpu.data import native
 
             if native.available():
+                # same image-vs-label shape guard as the Python path below:
+                # zero-padding mismatched pairs to a common cube would leave
+                # labels silently misaligned with the image grid
+                for ip, lp, name in zip(img_paths, lbl_paths, ids):
+                    ish, lsh = native.read_shape(ip)[:3], native.read_shape(lp)[:3]
+                    if tuple(ish) != tuple(lsh):
+                        raise ValueError(f"{name}: image {tuple(ish)} != label {tuple(lsh)}")
                 c = cube or int(max(max(native.read_shape(p)[:3]) for p in img_paths))
                 images = native.load_dataset(img_paths, c)
                 labels = native.load_dataset(lbl_paths, c).astype(np.int32)

@@ -154,9 +154,15 @@ class VolumeEvaluator:
         # than f32 at 1.7e-5 absolute precision; callers dequantize via
         # _fetch_entropy for NIfTI export
         self._entropy_scale = float(np.log(n_cls))
+        # clip at full-scale before the uint16 convert: oblique-path fused
+        # vectors can sum to <1 at partially-covered boundary voxels, where
+        # -Σ p log p may exceed ln C and the out-of-range cast would wrap
         self._entropy = jax.jit(
             lambda p: jnp.round(
-                (-jnp.sum(p * jnp.log(p + 1e-12), axis=-1))
+                jnp.clip(
+                    -jnp.sum(p * jnp.log(p + 1e-12), axis=-1),
+                    0.0, self._entropy_scale,
+                )
                 * (65535.0 / self._entropy_scale)
             ).astype(jnp.uint16)
         )
@@ -332,7 +338,11 @@ class VolumeEvaluator:
         model already applies sigmoid (unet_model.py:48-49); expand to a
         [bg, fg] 2-class volume so fusion/argmax/dice work uniformly."""
         if self.task.n_classes == 1:
-            p = outputs  # sigmoid probs, channel dim 1
+            # deterministic UNet emits sigmoid probs internally; the probunet
+            # fcomb head is linear (prob_unet.py OrthoConv last layer), so its
+            # sample-averaged outputs are logits — squash them here (the
+            # binary analogue of average-logits-then-softmax, eval.py:148-157)
+            p = jax.nn.sigmoid(outputs) if self.task.is_probabilistic else outputs
             return jnp.concatenate([1.0 - p, p], axis=-1)
         return jax.nn.softmax(outputs, axis=-1)
 
@@ -640,7 +650,11 @@ class VolumeEvaluator:
                     jax.random.fold_in(key, i),
                     want_entropy=uncertainty_dir is not None,
                 )
-                h.pop("views", None)  # release per-view HBM as soon as XLA allows
+                # release per-view AND fused HBM as soon as XLA allows —
+                # drain() reads only dice + packed seg (+entropy); a pinned
+                # fused volume costs ~33 MB f32 per in-flight pipeline slot
+                h.pop("views", None)
+                h.pop("fused", None)
                 pending.append((i, h))
                 while len(pending) > depth:
                     drain()
@@ -668,7 +682,9 @@ class VolumeEvaluator:
 
         depth = max(0, pipeline_depth)
         pending: deque = deque()
-        results = [None] * len(volumes)
+        # dict keyed by stream position: accepts true generators/lazy
+        # streams — only ~depth volumes are ever in flight at once
+        results: dict = {}
 
         def drain():
             i, h = pending.popleft()
@@ -688,4 +704,4 @@ class VolumeEvaluator:
                 drain()
         while pending:
             drain()
-        return results
+        return [results[i] for i in range(len(results))]

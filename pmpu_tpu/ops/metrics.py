@@ -13,13 +13,13 @@ import jax.numpy as jnp
 from pmpu_tpu.ops.losses import DICE_SMOOTH, dice_coeff
 
 
-def per_class_dice(
-    preds: jax.Array, masks: jax.Array, n_classes: int, from_logits: bool = True
-) -> jax.Array:
+def per_class_dice(preds: jax.Array, masks: jax.Array, n_classes: int) -> jax.Array:
     """Dice for classes 1..n_classes-1 (background excluded).
 
-    ``preds``: NHWC logits/probs (n_classes>1) or (N,H,W,1) probs
-    (n_classes==1, thresholded at 0.5 — reference ``unet_trainer.py:43``).
+    ``preds``: NHWC logits-or-probs (n_classes>1 — argmax is monotone
+    under softmax so either works) or (N,H,W,1) sigmoid PROBS
+    (n_classes==1, thresholded at 0.5 — reference ``unet_trainer.py:43``;
+    both tasks' predict/val_loss emit probs for the binary case).
     ``masks``: integer labels (N,H,W) or (N,H,W,1).
 
     Matches reference ``Trainer.eval``: softmax → argmax → one-hot →

@@ -169,13 +169,17 @@ class ProbUNetTask:
         z: Optional[jax.Array] = None,
     ):
         """Forward + prior-sample decode (reference ``probunet_trainer.py:27-32``:
-        rsample≡sample for inference; z override = ``sample_at``)."""
+        rsample≡sample for inference; z override = ``sample_at``). Returns
+        sigmoid probs for n_classes==1 / logits otherwise — the same
+        prediction contract as :meth:`UNetTask.predict` (the fcomb head is
+        linear, unlike UNet's built-in 1-class sigmoid)."""
         out = self.net.apply(variables, img, train=False)
         if z is None:
             z = out.prior.sample(key)
-        return self.net.apply(
+        logits = self.net.apply(
             variables, out.unet_features, z, method=ProbabilisticUNet.decode
         )
+        return jax.nn.sigmoid(logits) if self.n_classes == 1 else logits
 
     def val_loss(self, variables, img, msk, key=None):
         """Validation −ELBO from a freshly-computed posterior (fixes the
@@ -188,11 +192,15 @@ class ProbUNetTask:
         loss, _ = losses.elbo_loss(
             logits, msk, out.posterior, out.prior, self.beta, self.n_classes
         )
-        # prediction for dice: prior sample (reference validation path)
+        # prediction for dice: prior sample (reference validation path);
+        # binary preds squash to probs so per_class_dice's 0.5 threshold
+        # (reference unet_trainer.py:43) applies uniformly
         key2 = jax.random.fold_in(key, 1)
         preds = self.net.apply(
             variables, out.unet_features, out.prior.sample(key2), method=ProbabilisticUNet.decode
         )
+        if self.n_classes == 1:
+            preds = jax.nn.sigmoid(preds)
         return loss, preds
 
 

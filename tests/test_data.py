@@ -69,6 +69,12 @@ def test_nifti_scl_scaling(tmp_path):
     p.write_bytes(bytes(raw))
     out = nifti.load(p)
     np.testing.assert_allclose(out, data * 2.0 + 1.5)
+    # scl_slope == 0 means "scaling unset" (NIfTI-1 spec): nibabel's
+    # get_fdata ignores BOTH fields — inter must NOT be applied
+    struct.pack_into("<f", raw, 112, 0.0)
+    struct.pack_into("<f", raw, 116, 100.0)
+    p.write_bytes(bytes(raw))
+    np.testing.assert_allclose(nifti.load(p), data)
 
 
 def test_nifti_fortran_order_matches_nibabel_convention(tmp_path):

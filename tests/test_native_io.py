@@ -64,3 +64,15 @@ def test_native_error_on_garbage(tmp_path):
     p.write_bytes(b"\x00" * 400)
     with pytest.raises(ValueError):
         native.load_volume(str(p))
+
+
+def test_native_store_rejects_shape_mismatch(tmp_path):
+    """The native path must enforce the same image-vs-label shape guard as
+    the Python path — padding a mismatched pair to a common cube would
+    leave the labels misaligned with the image grid."""
+    (tmp_path / "images").mkdir()
+    (tmp_path / "labels").mkdir()
+    nifti.save(tmp_path / "images" / "v.nii", RNG.random((6, 6, 6)).astype(np.float32))
+    nifti.save(tmp_path / "labels" / "v.nii", np.zeros((4, 4, 4), np.float32))
+    with pytest.raises(ValueError, match="image .* != label"):
+        VolumeStore.from_dirs(tmp_path / "images", tmp_path / "labels", use_native=True)

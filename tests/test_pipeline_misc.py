@@ -160,3 +160,81 @@ def test_compile_cache_populates_and_flag_parses(tmp_path):
     finally:  # restore defaults so later tests don't write into tmp_path
         jax.config.update("jax_compilation_cache_dir", None)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def test_prefetch_pipeline_propagates_producer_errors():
+    """A gather error in the background thread must raise in the consumer,
+    not silently truncate the batch stream."""
+    import pytest
+
+    store = make_synthetic_store(n=2, s=12)
+    batches = [
+        np.array([[0, 0, 1]], np.int32),
+        np.array([[99, 0, 1]], np.int32),  # out-of-range scan id
+    ]
+    pipe = PrefetchPipeline(store, depth=2)
+    with pytest.raises(IndexError):
+        list(pipe.iterate(batches))
+
+
+def test_binary_probunet_eval_probs_and_entropy():
+    """n_classes==1 probunet: fcomb emits LOGITS (linear head) — the
+    engine must sigmoid them, giving fused probs in [0,1], a 0/1 argmax,
+    and finite entropy; task.predict/val_loss emit probs (0.5-threshold
+    contract of per_class_dice)."""
+    from pmpu_tpu.inference.engine import VolumeEvaluator
+
+    s = 12
+    task = make_task("probunet", n_classes=1, num_filters=(4, 8))
+    variables = task.init_variables(
+        jax.random.key(0),
+        jnp.zeros((2, s, s, 1), jnp.float32),
+        jnp.zeros((2, s, s, 1), jnp.int32),
+    )
+    ev = VolumeEvaluator(task, n_samples=2, eval_batch=s)
+    vol = np.asarray(RNG.random((s, s, s)), np.float32)
+    res = ev.evaluate_volume(variables, vol, key=jax.random.key(1))
+    fused = np.asarray(res["fused"])
+    assert fused.shape[-1] == 2
+    assert (fused >= 0).all() and (fused <= 1).all()
+    np.testing.assert_allclose(fused.sum(-1), 1.0, rtol=1e-5)
+    assert set(np.unique(np.asarray(res["argmax"]))) <= {0.0, 1.0}
+    ent = np.asarray(ev._fetch_entropy(ev._entropy(jnp.asarray(fused))))
+    assert np.isfinite(ent).all() and ent.max() <= np.log(2) + 1e-5
+    # task-level prediction contract: probs, not logits
+    preds = task.predict(variables, jnp.asarray(vol[:2, :, :, None]), key=jax.random.key(2))
+    p = np.asarray(preds)
+    assert (p >= 0).all() and (p <= 1).all()
+
+
+def test_entropy_clips_at_full_scale():
+    """Sub-normalized prob vectors (oblique-path boundary voxels) can push
+    -sum(p log p) past ln C; the uint16 wire format must clip, not wrap."""
+    task = make_task("unet", n_classes=1, num_filters=(4, 8))
+    from pmpu_tpu.inference.engine import VolumeEvaluator
+
+    ev = VolumeEvaluator(task, n_samples=1)
+    p = jnp.full((2, 2, 2, 2), 0.368)  # sums to 0.736; entropy 0.7358 > ln 2
+    enc = np.asarray(ev._entropy(p))
+    assert enc.max() == 65535  # clipped to full scale, no wraparound
+    assert abs(ev._fetch_entropy(enc).max() - np.log(2)) < 1e-4
+
+
+def test_pipelined_predict_accepts_generator():
+    """The serving path takes a lazy stream (generator), not just a list."""
+    from pmpu_tpu.inference.engine import VolumeEvaluator
+
+    s = 12
+    task = make_task("unet", n_classes=3, num_filters=(4, 8))
+    variables = task.init_variables(
+        jax.random.key(0),
+        jnp.zeros((2, s, s, 1), jnp.float32),
+        jnp.zeros((2, s, s, 1), jnp.int32),
+    )
+    ev = VolumeEvaluator(task, n_samples=1, eval_batch=s)
+    vols = [np.asarray(RNG.random((s, s, s)), np.float32) for _ in range(3)]
+    lazy = ev.predict_volumes_pipelined(variables, (v for v in vols), key=jax.random.key(1))
+    eager = ev.predict_volumes_pipelined(variables, vols, key=jax.random.key(1))
+    assert len(lazy) == 3
+    for a, b in zip(lazy, eager):
+        np.testing.assert_array_equal(a, b)
