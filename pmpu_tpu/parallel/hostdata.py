@@ -93,6 +93,7 @@ class ShardedTripleBatcher:
         if n_volumes % n_shards:
             raise ValueError(f"{n_volumes} volumes not divisible by {n_shards} shards")
         self.n_shards = n_shards
+        self.pad = pad
         self.vols_per_shard = n_volumes // n_shards
         triples = np.asarray(triples)
         owner = triples[:, 0] // self.vols_per_shard
@@ -123,14 +124,24 @@ class ShardedTripleBatcher:
             self.shard_rows = padded
 
     def steps_per_epoch(self, per_shard: int) -> int:
-        return min(len(r) for r in self.shard_rows) // per_shard
+        m = min(len(r) for r in self.shard_rows)
+        if self.pad:
+            # ceil: the tail batch cycles back through the permutation so
+            # every row is seen at least once even when the shard length is
+            # below (or not a multiple of) per_shard — never 0 steps
+            return -(-m // per_shard)
+        return m // per_shard  # drop-last over the smallest shard
 
     def epoch_batches(self, per_shard: int, rng: np.random.Generator):
         """Yield (n_shards * per_shard, 3) int32 arrays, shard-ordered."""
         perms = [rng.permutation(len(r)) for r in self.shard_rows]
         for i in range(self.steps_per_epoch(per_shard)):
+            idx = np.arange(i * per_shard, (i + 1) * per_shard)
             chunks = [
-                self.shard_rows[k][perms[k][i * per_shard : (i + 1) * per_shard]]
+                self.shard_rows[k][
+                    perms[k].take(idx, mode="wrap") if self.pad
+                    else perms[k][idx]
+                ]
                 for k in range(self.n_shards)
             ]
             yield np.concatenate(chunks).astype(np.int32)

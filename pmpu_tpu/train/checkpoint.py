@@ -381,10 +381,10 @@ def export_torch_state_dict(variables, model_name: str, num_filters=(64, 128, 25
         try:
             if kind in ("conv", "deconv"):
                 node = _lookup(params, flax_path)
-                sd[torch_prefix + ".weight"] = np.transpose(node["kernel"], (3, 2, 0, 1)) if kind == "conv" else np.transpose(node["kernel"], (3, 2, 0, 1))
-                if kind == "deconv":
-                    # flax (kh,kw,cout,cin) → torch (cin,cout,kh,kw)
-                    sd[torch_prefix + ".weight"] = np.transpose(node["kernel"], (3, 2, 0, 1))
+                # one permutation covers both layouts:
+                #   conv   flax (kh,kw,cin,cout) → torch (cout,cin,kh,kw)
+                #   deconv flax (kh,kw,cout,cin) → torch (cin,cout,kh,kw)
+                sd[torch_prefix + ".weight"] = np.transpose(node["kernel"], (3, 2, 0, 1))
                 if "bias" in node:
                     sd[torch_prefix + ".bias"] = node["bias"]
             else:

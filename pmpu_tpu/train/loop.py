@@ -15,6 +15,7 @@ reference reloads both NIfTIs from disk per slice, ``mri_dataset.py:124-127``).
 
 from __future__ import annotations
 
+import contextlib
 import logging
 import os
 
@@ -169,8 +170,9 @@ def train_net(cfg: Config, store: VolumeStore, interrupt_flag=None):
     sample_msk = jnp.zeros((micro, s, s, 1), jnp.int32)
     tx = make_optimizer(momentum=cfg.om, clip=0.1, lr=cfg.lr)
     state = create_train_state(task, init_key, sample_img, sample_msk, tx)
+    resume_payload = None
     if cfg.load:
-        state, _ = ckpt.restore_train_state(cfg.load, state, strict=False)
+        state, resume_payload = ckpt.restore_train_state(cfg.load, state, strict=False)
         log.info("restored checkpoint %s", cfg.load)
 
     aug = None
@@ -212,6 +214,19 @@ def train_net(cfg: Config, store: VolumeStore, interrupt_flag=None):
         factor=cfg.lrf,
         patience=cfg.lrp,
     )
+    # resume the full optimization trajectory, not just the weights: the
+    # checkpoint carries the plateau scheduler (current lr, best score,
+    # bad-epoch count) and the PRNG key — without restoring them a resumed
+    # run would jump back to cfg.lr and replay the key stream
+    if resume_payload:
+        if resume_payload.get("plateau"):
+            plateau = ReduceLROnPlateau.from_state_dict(resume_payload["plateau"])
+            log.info("restored plateau scheduler (lr=%g)", plateau.lr)
+        if resume_payload.get("rng_key") is not None:
+            key = jax.random.wrap_key_data(
+                jnp.asarray(resume_payload["rng_key"], jnp.uint32)
+            )
+            log.info("restored PRNG key")
     writer = MetricWriter(
         logdir=cfg.logdir,
         comment=f"LRF_{cfg.lrf}_LRP_{cfg.lrp}_EP_{cfg.epochs}_LR_{cfg.lr}_BS_{cfg.batchsize}",
@@ -224,14 +239,20 @@ def train_net(cfg: Config, store: VolumeStore, interrupt_flag=None):
         jax.devices()[0].platform,
     )
 
-    global_step = 0
     history = {"train_loss": [], "val_loss": [], "val_dice": [], "step_time": []}
     os.makedirs(cfg.checkpoint_dir, exist_ok=True)
 
     if cfg.sharded_volumes:
         from pmpu_tpu.parallel.hostdata import ShardedTripleBatcher
 
-        per_shard = max(per_step // n_shards, 1)
+        if per_step % n_shards:
+            # a silently rounded per-shard batch would change the effective
+            # global batch AND skew the slices/s + progress accounting
+            raise ValueError(
+                f"--sharded-volumes: batch {per_step} not divisible by "
+                f"{n_shards} shards; pick a multiple of the shard count."
+            )
+        per_shard = per_step // n_shards
         train_bat = ShardedTripleBatcher(index[train_idx], len(store), n_shards)
         if train_bat.steps_per_epoch(per_shard) == 0:
             # drop-last over the SMALLEST shard — without this check an
@@ -262,18 +283,37 @@ def train_net(cfg: Config, store: VolumeStore, interrupt_flag=None):
 
     model_extra = {"model_config": _model_config(cfg, task)}
     latest = {"state": state}
-    ctx = trace(cfg.profile_dir) if cfg.profile_dir else _nullcontext()
+    ctx = trace(cfg.profile_dir) if cfg.profile_dir else contextlib.nullcontext()
     try:
         with ctx:
+            # chips the step actually spans (slices/s/chip accounting):
+            # sharded/DP steps use the mesh; plain jit uses one device
+            if cfg.sharded_volumes:
+                n_chips = n_shards
+            elif cfg.data_parallel and jax.device_count() > 1:
+                n_chips = jax.device_count()
+            else:
+                n_chips = 1
             state = _run_epochs(
                 cfg, task, latest, train_step, eval_step, plateau, writer, key,
                 images_d, labels_d, index, train_idx, val_idx, rng, per_step,
-                n_classes, history, interrupt_flag, stream_pipe, sv,
+                n_classes, history, interrupt_flag, stream_pipe, sv, n_chips,
             )
     except KeyboardInterrupt:
-        # emergency checkpoint — reference train.py:271-273
-        ckpt.save_checkpoint("INTERRUPTED.pth", latest["state"], plateau, key, extra=model_extra)
-        log.info("Saved interrupt")
+        # emergency checkpoint — reference train.py:271-273. The train
+        # steps donate their input state (donate_argnums), so an interrupt
+        # landing INSIDE a step call can leave latest["state"] pointing at
+        # deleted buffers; the save must not turn a Ctrl-C into a crash.
+        try:
+            ckpt.save_checkpoint(
+                "INTERRUPTED.pth", latest["state"], plateau, key, extra=model_extra
+            )
+            log.info("Saved interrupt")
+        except RuntimeError as e:
+            log.warning(
+                "interrupt landed mid-step (donated state unavailable: %s); "
+                "no INTERRUPTED.pth written — use the last epoch checkpoint", e
+            )
         raise
 
     if cfg.save_cp:
@@ -298,14 +338,6 @@ def _model_config(cfg: Config, task) -> dict:
     return d
 
 
-class _nullcontext:
-    def __enter__(self):
-        return self
-
-    def __exit__(self, *a):
-        return False
-
-
 def _stream_rows(per_step):
     """Row-index 'triples' for the streaming sampler (sample_rows)."""
     return jnp.asarray(np.tile(np.arange(per_step, dtype=np.int32)[:, None], (1, 3)))
@@ -328,9 +360,10 @@ def _run_epochs(
     cfg, task, latest, train_step, eval_step, plateau, writer, key,
     images_d, labels_d, index, train_idx, val_idx, rng, per_step,
     n_classes, history, interrupt_flag, stream_pipe=None, sv=None,
+    n_chips: int = 1,
 ):
     state = latest["state"]
-    timer = StepTimer(slices_per_step=per_step)
+    timer = StepTimer(slices_per_step=per_step, n_chips=n_chips)
     history["perf"] = timer.summary()
     global_step = 0
     ckptr_box = [None]  # in-flight async Orbax save (--async-checkpoints)
@@ -429,7 +462,7 @@ def _epoch_loop(
         pbar.close()
         history["train_loss"].append(float(np.mean(epoch_losses)) if epoch_losses else float("nan"))
         history["perf"] = timer.summary()
-        history["step_time"] = [timer.sec_per_step]
+        history["step_time"].append(timer.sec_per_step)
         if timer.summary()["steps_timed"]:
             writer.scalar("perf/slices_per_sec_per_chip", timer.slices_per_sec, global_step)
 

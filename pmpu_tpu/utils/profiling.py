@@ -68,11 +68,16 @@ def enable_nan_checks(enabled: bool = True):
 
 
 class StepTimer:
-    """Wall-clock step timing → steps/sec and slices/sec/chip."""
+    """Wall-clock step timing → steps/sec and slices/sec/chip.
 
-    def __init__(self, slices_per_step: int, warmup: int = 1):
+    ``n_chips``: devices the step actually runs on (default 1 — a plain
+    jitted step uses one device no matter how many the host exposes; pass
+    the mesh size for sharded steps)."""
+
+    def __init__(self, slices_per_step: int, warmup: int = 1, n_chips: int = 1):
         self.slices_per_step = slices_per_step
         self.warmup = warmup
+        self.n_chips = max(int(n_chips), 1)
         self._times: list[float] = []
         self._seen = 0
         self._t0 = None
@@ -93,8 +98,10 @@ class StepTimer:
 
     @property
     def slices_per_sec(self) -> float:
-        n_dev = max(jax.device_count(), 1)
-        return self.slices_per_step / self.sec_per_step / n_dev if self._times else float("nan")
+        return (
+            self.slices_per_step / self.sec_per_step / self.n_chips
+            if self._times else float("nan")
+        )
 
     def summary(self) -> dict:
         return {

@@ -260,3 +260,27 @@ def test_train_net_async_checkpoints_resumable(tmp_path):
         jax.tree_util.tree_leaves(state.params),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_padded_batcher_never_skips_validation():
+    """pad=True must yield ceil(rows/per_shard) steps (wrapping the tail),
+    so a small validation split still validates — never 0 steps — and
+    every real row is seen at least once per epoch."""
+    from pmpu_tpu.parallel.hostdata import ShardedTripleBatcher
+
+    # 3 rows in shard 0, 1 row in shard 1; per_shard=4 > both
+    triples = np.array(
+        [[0, 0, 1], [0, 1, 2], [1, 0, 3], [2, 0, 4]], np.int32
+    )
+    b = ShardedTripleBatcher(triples, n_volumes=4, n_shards=2, pad=True)
+    assert b.steps_per_epoch(4) == 1
+    (batch,) = list(b.epoch_batches(4, np.random.default_rng(0)))
+    assert batch.shape == (8, 3)
+    # shard 0 block covers all 3 of its real rows (cycled to 4)
+    seen0 = {tuple(r) for r in batch[:4]}
+    assert {(0, 0, 1), (0, 1, 2), (1, 0, 3)} <= seen0
+    # non-divisible case: 3 rows, per_shard=2 → 2 steps, all rows seen
+    b2 = ShardedTripleBatcher(triples[:3], n_volumes=2, n_shards=1, pad=True)
+    assert b2.steps_per_epoch(2) == 2
+    rows = np.concatenate(list(b2.epoch_batches(2, np.random.default_rng(1))))
+    assert {tuple(r) for r in rows} == {(0, 0, 1), (0, 1, 2), (1, 0, 3)}

@@ -93,3 +93,55 @@ def test_interrupt_writes_emergency_checkpoint(tmp_path, monkeypatch):
 
     payload = load_checkpoint(str(tmp_path / "INTERRUPTED.pth"))
     assert payload["extra"]["model_config"]["net"] == "unet"
+
+
+def test_resume_restores_plateau_and_rng(tmp_path):
+    """A checkpoint carries the plateau scheduler (reduced lr, patience
+    counters) and the PRNG key; --load must restore BOTH so a resumed run
+    continues the optimization trajectory instead of jumping back to
+    cfg.lr (reference has no resume at all — SURVEY §5 checkpoint row)."""
+    from pmpu_tpu.train import checkpoint as ckpt
+    from pmpu_tpu.train.loop import train_net
+    from pmpu_tpu.train.schedule import ReduceLROnPlateau
+
+    store = make_synthetic_store(n=2, s=16)
+    cfg = Config(
+        net="unet", n_classes=3, epochs=1, batchsize=4, lr=0.05,
+        num_filters=(4, 8), save_cp=True, seed=0,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    state, task, _ = train_net(cfg, store)
+    ck = str(tmp_path / "ck" / "unet_model.pt")
+
+    # forge a reduced-lr plateau into the checkpoint and reload
+    payload = ckpt.load_checkpoint(ck)
+    plateau = ReduceLROnPlateau.from_state_dict(payload["plateau"])
+    plateau.lr = 0.005
+    plateau.num_bad_epochs = 3
+    import jax
+
+    ckpt.save_checkpoint(
+        ck, state, plateau, jax.random.key(123), extra=payload["extra"]
+    )
+
+    import logging
+
+    records = []
+
+    class Grab(logging.Handler):
+        def emit(self, r):
+            records.append(r.getMessage())
+
+    h = Grab()
+    lg = logging.getLogger("pmpu_tpu.train.loop")
+    old_level = lg.level
+    lg.addHandler(h)
+    lg.setLevel(logging.INFO)
+    try:
+        train_net(Config(**{**cfg.__dict__, "load": ck, "save_cp": False,
+                            "checkpoint_dir": str(tmp_path / "ck2")}), store)
+    finally:
+        lg.removeHandler(h)
+        lg.setLevel(old_level)
+    assert any("restored plateau scheduler (lr=0.005)" in m for m in records), records
+    assert any("restored PRNG key" in m for m in records)

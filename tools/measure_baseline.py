@@ -110,7 +110,7 @@ def main():
         torch.set_num_threads(args.threads)
     if args.mode == "train":
         out = measure_train(args)
-        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
         with open(args.out, "w") as f:
             json.dump(out, f, indent=2)
         print(json.dumps(out))
@@ -183,7 +183,7 @@ def main():
             "reference eval.py is a bs=1 sequential loop so cost is linear in slices"
         ),
     }
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))

@@ -32,7 +32,7 @@ def loadmat_any(path: str) -> dict:
         with h5py.File(path, "r") as f:
             # MATLAB v7.3 stores arrays transposed (C vs F order)
             return {k: np.asarray(f[k]).T for k in f.keys() if not k.startswith("#")}
-    except OSError:
+    except (OSError, ImportError):
         from scipy.io import loadmat
 
         m = loadmat(path)
