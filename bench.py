@@ -217,18 +217,13 @@ def bench_infer() -> dict:
     flops = _flops_of(compiled)
     if flops:
         # XLA cost analysis counts the lax.map (chunk loop) body ONCE; the
-        # model runs it nchunk times. Non-loop flops (transposes, softmax,
-        # fusion) are negligible next to the convs, so scale by nchunk.
-        from pmpu_tpu.inference.engine import auto_eval_batch
+        # model runs it n_chunks times. Non-loop flops (transposes, softmax,
+        # fusion) are negligible next to the convs, so scale by n_chunks —
+        # taken from the engine's own plan so the two can never drift.
+        from pmpu_tpu.inference.engine import eval_chunk_plan
 
-        total = 3 * s
-        if EVAL_BATCH == 0:
-            b = auto_eval_batch(total, s, s)
-        elif EVAL_BATCH < 0:
-            b = total
-        else:
-            b = EVAL_BATCH
-        flops *= -(-total // b)
+        _, n_chunks = eval_chunk_plan(3 * s, s, s, EVAL_BATCH)
+        flops *= n_chunks
     res = ev.evaluate_volume(variables, vols[0], key=jax.random.key(99))
     jax.block_until_ready(res["fused"])
     _ = res["argmax"]

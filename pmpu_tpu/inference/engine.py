@@ -56,6 +56,21 @@ def auto_eval_batch(total: int, h: int, w: int) -> int:
     return b
 
 
+def eval_chunk_plan(total: int, h: int, w: int, eval_batch: int):
+    """(chunk_size, n_chunks) the engine's chunk loop will actually use for
+    a ``total``-slice slab with the given ``eval_batch`` setting (0 = auto,
+    <0 = whole slab). The single source of truth for the dispatch plan —
+    bench.py scales its XLA cost-analysis FLOPs by this n_chunks, so any
+    heuristic change here propagates to the reported MFU automatically."""
+    if eval_batch == 0:
+        b = auto_eval_batch(total, h, w)
+    elif eval_batch < 0:
+        b = total
+    else:
+        b = eval_batch
+    return b, -(-total // b)
+
+
 def _pack2bit(a):
     """(..., S) uint8 class ids < 4 → (..., S//4), 4 voxels per byte
     (voxel j of each group sits at bits 2j..2j+1)."""
@@ -310,13 +325,9 @@ class VolumeEvaluator:
                 slabs, NamedSharding(self.mesh, P("data"))
             )
         total = slabs.shape[0]
-        if self.eval_batch == 0:
-            b = auto_eval_batch(total, slabs.shape[1], slabs.shape[2])
-        elif self.eval_batch < 0:
-            b = total
-        else:
-            b = self.eval_batch
-        nchunk = -(-total // b)
+        b, nchunk = eval_chunk_plan(
+            total, slabs.shape[1], slabs.shape[2], self.eval_batch
+        )
         pad = nchunk * b - total
         x = jnp.pad(slabs, ((0, pad), (0, 0), (0, 0)))[..., None]
         x = x.reshape(nchunk, b, *slabs.shape[1:], 1)

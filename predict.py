@@ -54,6 +54,12 @@ def get_args():
                    help="bfloat16 compute + compact bf16 volume uploads")
     p.add_argument("--quantize", type=str, default=None, choices=["int8"],
                    help="post-training dynamic int8 inference")
+    p.add_argument("--n-classes", dest="n_classes", type=int, default=3,
+                   help="output classes (needed for raw torch state_dict "
+                   "checkpoints, which carry no architecture record)")
+    p.add_argument("--num-filters", dest="num_filters", type=str,
+                   default="64,128,256,512,1024",
+                   help="comma-separated encoder widths (torch checkpoints)")
     return p.parse_args()
 
 
@@ -63,7 +69,8 @@ def main() -> int:
     from pmpu_tpu.utils.profiling import enable_compile_cache
 
     enable_compile_cache(args.compile_cache)
-    cfg = Config(net=args.net, n_classes=3, load=args.load,
+    cfg = Config(net=args.net, n_classes=args.n_classes, load=args.load,
+                 num_filters=tuple(int(x) for x in args.num_filters.split(",")),
                  eval_samples=args.eval_samples, eval_batch=args.eval_batch,
                  num_views=args.num_views, seed=args.seed, bf16=args.bf16,
                  quantize=args.quantize)
@@ -77,14 +84,20 @@ def main() -> int:
         if not names:
             logging.error("no .nii/.nii.gz volumes in %s", args.input)
             return 1
-        raw = [nifti.load(os.path.join(args.input, n)) for n in names]
-        cube = max(max(v.shape) for v in raw)
-        vols = [pad_to_cube(v, cube) for v in raw]
-        vol = vols[0]
-        logging.info("batch input %s: %d volumes → cube %d", args.input, len(vols), cube)
+        # one program shape for the whole stream: the common cube comes
+        # from a header-only scan; the volumes themselves load LAZILY in
+        # the pipelined generator below (~pipeline_depth in RAM at once,
+        # not the whole directory)
+        cube = int(max(
+            max(nifti.read_header(os.path.join(args.input, n)).shape[:3])
+            for n in names
+        ))
+        vol = None
+        logging.info("batch input %s: %d volumes → cube %d", args.input, len(names), cube)
     else:
         names = None
         vol = pad_to_cube(nifti.load(args.input))
+        cube = vol.shape[0]
         logging.info("input %s → cube %s", args.input, vol.shape)
 
     import jax
@@ -96,9 +109,9 @@ def main() -> int:
         task, variables, cfg = load_for_inference(args.load, cfg)
     else:
         logging.warning("no checkpoint: predicting with an untrained model")
-        s = vol.shape[0]
         variables = task.init_variables(
-            jax.random.key(0), jnp.zeros((1, s, s, 1)), jnp.zeros((1, s, s, 1), jnp.int32)
+            jax.random.key(0),
+            jnp.zeros((1, cube, cube, 1)), jnp.zeros((1, cube, cube, 1), jnp.int32),
         )
 
     ev = VolumeEvaluator(
@@ -112,8 +125,12 @@ def main() -> int:
         os.makedirs(args.output, exist_ok=True)
         if args.uncertainty:
             os.makedirs(args.uncertainty, exist_ok=True)
+        lazy_vols = (
+            pad_to_cube(nifti.load(os.path.join(args.input, n)), cube)
+            for n in names
+        )
         outs = ev.predict_volumes_pipelined(
-            variables, vols, key=jax.random.key(args.seed),
+            variables, lazy_vols, key=jax.random.key(args.seed),
             pipeline_depth=args.pipeline_depth, want_entropy=bool(args.uncertainty),
         )
         for n, out in zip(names, outs):
@@ -127,8 +144,10 @@ def main() -> int:
     nifti.save(args.output, res["argmax"].astype(np.float32))
     logging.info("saved %s", args.output)
     if args.uncertainty:
-        fused = np.asarray(res["fused"])
-        entropy = -np.sum(fused * np.log(fused + 1e-12), axis=-1)
+        # device-side entropy + compact uint16 fetch (the engine's wire
+        # format): ~6× fewer D2H bytes than pulling the f32 prob volume
+        # through the tunnel and recomputing on host
+        entropy = ev._fetch_entropy(ev._entropy(res["fused"]))
         nifti.save(args.uncertainty, entropy.astype(np.float32))
         logging.info("saved %s", args.uncertainty)
     return 0

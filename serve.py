@@ -58,6 +58,12 @@ def get_args():
     p.add_argument("--quantize", type=str, default=None, choices=["int8"],
                    help="post-training dynamic int8 inference")
     p.add_argument("--compile-cache", dest="compile_cache", type=str, default=None)
+    p.add_argument("--n-classes", dest="n_classes", type=int, default=3,
+                   help="output classes (needed for raw torch state_dict "
+                   "checkpoints, which carry no architecture record)")
+    p.add_argument("--num-filters", dest="num_filters", type=str,
+                   default="64,128,256,512,1024",
+                   help="comma-separated encoder widths (torch checkpoints)")
     return p.parse_args()
 
 
@@ -69,12 +75,27 @@ def _try_load(path):
 
 
 def _stable_new_files(watch, seen, sizes):
-    """Names whose size is unchanged since the previous scan (upload done)."""
+    """Names whose size is unchanged since the previous scan (upload done).
+
+    Names that have vanished from the directory are forgotten: bounded
+    watcher state in high-churn directories, and a fixed re-upload of a
+    previously quarantined/processed name is picked up again."""
+    listing = [n for n in sorted(os.listdir(watch))
+               if n.endswith(".nii") or n.endswith(".nii.gz")]
+    present = set(listing)
+    for d in (seen, sizes):
+        for gone in [n for n in d if n not in present]:
+            d.discard(gone) if isinstance(d, set) else d.pop(gone, None)
     ready = []
-    for n in sorted(os.listdir(watch)):
-        if n in seen or not (n.endswith(".nii") or n.endswith(".nii.gz")):
+    for n in listing:
+        if n in seen:
             continue
-        sz = os.path.getsize(os.path.join(watch, n))
+        try:
+            sz = os.path.getsize(os.path.join(watch, n))
+        except OSError:
+            # deleted/renamed between listdir and stat — skip this poll
+            sizes.pop(n, None)
+            continue
         if sizes.get(n) == sz:
             ready.append(n)
         sizes[n] = sz
@@ -88,7 +109,8 @@ def main() -> int:
 
     enable_compile_cache(args.compile_cache)
 
-    cfg = Config(net=args.net, n_classes=3, load=args.load,
+    cfg = Config(net=args.net, n_classes=args.n_classes, load=args.load,
+                 num_filters=tuple(int(x) for x in args.num_filters.split(",")),
                  eval_samples=args.eval_samples, eval_batch=args.eval_batch,
                  num_views=args.num_views, seed=args.seed, bf16=args.bf16)
 
@@ -126,9 +148,9 @@ def main() -> int:
     # re-raises the first write error without masking an in-flight exception
     with nifti.AsyncWriter() as writer:
         logging.info("serving %s → %s (poll %.1fs)", args.watch, args.out, args.poll)
-        _serve_loop(args, cfg, task, variables, ev, cube, seen, sizes, key,
-                    served, writer)
-    return 0
+        rc = _serve_loop(args, cfg, task, variables, ev, cube, seen, sizes, key,
+                        served, writer)
+    return rc or 0
 
 
 def _serve_loop(args, cfg, task, variables, ev, cube, seen, sizes, key,
@@ -205,7 +227,9 @@ def _serve_loop(args, cfg, task, variables, ev, cube, seen, sizes, key,
                     len(names), dt, dt / len(names), served,
                 )
         if args.once:
-            break
+            # batch-job contract: non-zero exit when any volume failed to
+            # load, so callers can detect partial results
+            return 1 if fails else 0
         time.sleep(args.poll)
 
 

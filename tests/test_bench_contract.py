@@ -89,3 +89,10 @@ def test_flops_scaling_matches_chunk_plan():
     assert auto_eval_batch(768, 256, 256) == 32
     # divisor preference: totals with awkward factors fall back to padding
     assert auto_eval_batch(97 * 3, 128, 128) in (97, 128)
+    # bench.py consumes eval_chunk_plan — the engine's single source of
+    # truth for the dispatch plan — not its own copy of the branches
+    from pmpu_tpu.inference.engine import eval_chunk_plan
+
+    assert eval_chunk_plan(384, 128, 128, 0) == (128, 3)
+    assert eval_chunk_plan(384, 128, 128, -1) == (384, 1)
+    assert eval_chunk_plan(384, 128, 128, 100) == (100, 4)

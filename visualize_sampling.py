@@ -25,7 +25,8 @@ from pmpu_tpu.utils.colorize import mask_to_image
 
 
 def save_png(path, arr, cmap_gray=False):
-    """Minimal PNG writer via matplotlib if present, else raw .npy fallback."""
+    """Minimal PNG writer via matplotlib if present, else raw .npy fallback.
+    Returns the path actually written."""
     try:
         import matplotlib
 
@@ -33,8 +34,10 @@ def save_png(path, arr, cmap_gray=False):
         import matplotlib.pyplot as plt
 
         plt.imsave(path, arr, cmap="Greys_r" if cmap_gray else None)
+        return path
     except Exception:
         np.save(path + ".npy", arr)
+        return path + ".npy"
 
 
 def main() -> int:
@@ -51,6 +54,12 @@ def main() -> int:
     task = None if args.load else make_task(cfg.net, **cfg.task_kwargs())
     store = VolumeStore.from_dirs(os.path.join(args.dir, "images"), os.path.join(args.dir, "labels"))
     index = build_index_map(store.labels, filter=True)
+    if not len(index):
+        logging.error(
+            "no label-bearing slices in %s (all masks are background); "
+            "nothing to visualize", args.dir,
+        )
+        return 1
 
     import jax
     import jax.numpy as jnp
@@ -77,17 +86,19 @@ def main() -> int:
     print("mu: ", mu)
     print("sigma: ", sigma)
 
-    save_png("viz_scan.png", img, cmap_gray=True)
-    save_png("viz_label.png", mask_to_image(msk[None], 3)[0])
+    written = [save_png("viz_scan.png", img, cmap_gray=True)]
+    written.append(save_png("viz_label.png", mask_to_image(msk[None], 3)[0]))
 
     n = args.n_preds
     tile = mask_to_image(grid, 3, prediction=True)  # (n², H, W, 3)
     rows = [np.concatenate(list(tile[i * n : (i + 1) * n]), axis=1) for i in range(n)]
-    save_png("viz_grid.png", np.concatenate(rows, axis=0))
+    written.append(save_png("viz_grid.png", np.concatenate(rows, axis=0)))
 
     _, entropy, _ = uncertainty_maps(task, variables, img, n_samples=16, key=jax.random.key(args.seed))
-    save_png("viz_uncertainty.png", entropy / max(entropy.max(), 1e-9), cmap_gray=True)
-    logging.info("wrote viz_scan.png viz_label.png viz_grid.png viz_uncertainty.png")
+    written.append(
+        save_png("viz_uncertainty.png", entropy / max(entropy.max(), 1e-9), cmap_gray=True)
+    )
+    logging.info("wrote %s", " ".join(written))
     return 0
 
 
