@@ -16,6 +16,12 @@ from dataclasses import dataclass
 from typing import Optional, Sequence
 
 
+def parse_num_filters(v: str) -> tuple:
+    """argparse converter for --num-filters: "64,128,..." → (64, 128, ...).
+    Shared by the config front-end and the slim predict/serve parsers."""
+    return tuple(int(x) for x in v.split(","))
+
+
 @dataclass
 class Config:
     # reference train.py flags (names + defaults, train.py:199-225)
@@ -147,7 +153,7 @@ def _add_extension_args(p: argparse.ArgumentParser):
     g.add_argument(
         "--num-filters",
         dest="num_filters",
-        type=lambda v: tuple(int(x) for x in v.split(",")),
+        type=parse_num_filters,
         default=(64, 128, 256, 512, 1024),
         help="comma-separated encoder widths (reference default 64,128,256,512,1024)",
     )

@@ -67,6 +67,13 @@ class NiftiHeader:
         return a
 
 
+def is_nifti_name(name) -> bool:
+    """True for the file suffixes this codec reads (.nii / .nii.gz) — the
+    shared filter for directory-scanning CLIs (predict batch, serve watch)."""
+    name = str(name)
+    return name.endswith(".nii") or name.endswith(".nii.gz")
+
+
 def _open(path, mode="rb"):
     p = str(path)
     if p.endswith(".gz"):

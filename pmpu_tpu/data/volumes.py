@@ -113,11 +113,12 @@ class VolumeStore:
                 # same image-vs-label shape guard as the Python path below:
                 # zero-padding mismatched pairs to a common cube would leave
                 # labels silently misaligned with the image grid
-                for ip, lp, name in zip(img_paths, lbl_paths, ids):
-                    ish, lsh = native.read_shape(ip)[:3], native.read_shape(lp)[:3]
-                    if tuple(ish) != tuple(lsh):
-                        raise ValueError(f"{name}: image {tuple(ish)} != label {tuple(lsh)}")
-                c = cube or int(max(max(native.read_shape(p)[:3]) for p in img_paths))
+                img_shapes = [tuple(native.read_shape(p)[:3]) for p in img_paths]
+                for ish, lp, name in zip(img_shapes, lbl_paths, ids):
+                    lsh = tuple(native.read_shape(lp)[:3])
+                    if ish != lsh:
+                        raise ValueError(f"{name}: image {ish} != label {lsh}")
+                c = cube or int(max(max(s) for s in img_shapes))
                 images = native.load_dataset(img_paths, c)
                 labels = native.load_dataset(lbl_paths, c).astype(np.int32)
                 return cls(images=images.astype(dtype, copy=False), labels=labels, ids=ids, cube=c)

@@ -365,14 +365,13 @@ def _run_epochs(
     state = latest["state"]
     timer = StepTimer(slices_per_step=per_step, n_chips=n_chips)
     history["perf"] = timer.summary()
-    global_step = 0
     ckptr_box = [None]  # in-flight async Orbax save (--async-checkpoints)
     try:
         state = _epoch_loop(
             cfg, task, latest, train_step, eval_step, plateau, writer, key,
             images_d, labels_d, index, train_idx, val_idx, rng, per_step,
             n_classes, history, interrupt_flag, stream_pipe, sv,
-            state, timer, global_step, ckptr_box,
+            state, timer, ckptr_box,
         )
     finally:
         _swap_pending(ckptr_box, None)  # drain the last in-flight save
@@ -392,8 +391,9 @@ def _epoch_loop(
     cfg, task, latest, train_step, eval_step, plateau, writer, key,
     images_d, labels_d, index, train_idx, val_idx, rng, per_step,
     n_classes, history, interrupt_flag, stream_pipe, sv,
-    state, timer, global_step, ckptr_box,
+    state, timer, ckptr_box,
 ):
+    global_step = 0
     for epoch in range(cfg.epochs):
         # ---------------- train phase ----------------
         order = rng.permutation(len(train_idx))

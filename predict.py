@@ -22,7 +22,7 @@ import sys
 
 import numpy as np
 
-from pmpu_tpu.config import Config
+from pmpu_tpu.config import Config, parse_num_filters
 from pmpu_tpu.data import nifti
 from pmpu_tpu.data.volumes import pad_to_cube
 from pmpu_tpu.inference.engine import VolumeEvaluator
@@ -57,8 +57,8 @@ def get_args():
     p.add_argument("--n-classes", dest="n_classes", type=int, default=3,
                    help="output classes (needed for raw torch state_dict "
                    "checkpoints, which carry no architecture record)")
-    p.add_argument("--num-filters", dest="num_filters", type=str,
-                   default="64,128,256,512,1024",
+    p.add_argument("--num-filters", dest="num_filters", type=parse_num_filters,
+                   default=(64, 128, 256, 512, 1024),
                    help="comma-separated encoder widths (torch checkpoints)")
     return p.parse_args()
 
@@ -70,7 +70,7 @@ def main() -> int:
 
     enable_compile_cache(args.compile_cache)
     cfg = Config(net=args.net, n_classes=args.n_classes, load=args.load,
-                 num_filters=tuple(int(x) for x in args.num_filters.split(",")),
+                 num_filters=args.num_filters,
                  eval_samples=args.eval_samples, eval_batch=args.eval_batch,
                  num_views=args.num_views, seed=args.seed, bf16=args.bf16,
                  quantize=args.quantize)
@@ -79,8 +79,7 @@ def main() -> int:
     if os.path.isdir(args.input):
         # NIfTI entries only — stray files/subdirs must not sink the batch
         # (same filter as serve.py's watcher)
-        names = sorted(n for n in os.listdir(args.input)
-                       if n.endswith(".nii") or n.endswith(".nii.gz"))
+        names = sorted(filter(nifti.is_nifti_name, os.listdir(args.input)))
         if not names:
             logging.error("no .nii/.nii.gz volumes in %s", args.input)
             return 1

@@ -26,7 +26,7 @@ import time
 
 import numpy as np
 
-from pmpu_tpu.config import Config
+from pmpu_tpu.config import Config, parse_num_filters
 from pmpu_tpu.data import nifti
 from pmpu_tpu.data.volumes import pad_to_cube
 from pmpu_tpu.inference.engine import VolumeEvaluator
@@ -61,8 +61,8 @@ def get_args():
     p.add_argument("--n-classes", dest="n_classes", type=int, default=3,
                    help="output classes (needed for raw torch state_dict "
                    "checkpoints, which carry no architecture record)")
-    p.add_argument("--num-filters", dest="num_filters", type=str,
-                   default="64,128,256,512,1024",
+    p.add_argument("--num-filters", dest="num_filters", type=parse_num_filters,
+                   default=(64, 128, 256, 512, 1024),
                    help="comma-separated encoder widths (torch checkpoints)")
     return p.parse_args()
 
@@ -80,12 +80,11 @@ def _stable_new_files(watch, seen, sizes):
     Names that have vanished from the directory are forgotten: bounded
     watcher state in high-churn directories, and a fixed re-upload of a
     previously quarantined/processed name is picked up again."""
-    listing = [n for n in sorted(os.listdir(watch))
-               if n.endswith(".nii") or n.endswith(".nii.gz")]
+    listing = sorted(filter(nifti.is_nifti_name, os.listdir(watch)))
     present = set(listing)
-    for d in (seen, sizes):
-        for gone in [n for n in d if n not in present]:
-            d.discard(gone) if isinstance(d, set) else d.pop(gone, None)
+    seen.intersection_update(present)
+    for gone in [n for n in sizes if n not in present]:
+        del sizes[gone]
     ready = []
     for n in listing:
         if n in seen:
@@ -110,7 +109,7 @@ def main() -> int:
     enable_compile_cache(args.compile_cache)
 
     cfg = Config(net=args.net, n_classes=args.n_classes, load=args.load,
-                 num_filters=tuple(int(x) for x in args.num_filters.split(",")),
+                 num_filters=args.num_filters,
                  eval_samples=args.eval_samples, eval_batch=args.eval_batch,
                  num_views=args.num_views, seed=args.seed, bf16=args.bf16)
 
@@ -161,8 +160,8 @@ def _serve_loop(args, cfg, task, variables, ev, cube, seen, sizes, key,
     fails: dict = {}  # name → failed-load count (quarantine at 3)
     while True:
         if args.once:  # single scan: everything already on disk is "stable"
-            ready = [n for n in sorted(os.listdir(args.watch))
-                     if n not in seen and (n.endswith(".nii") or n.endswith(".nii.gz"))]
+            ready = [n for n in sorted(filter(nifti.is_nifti_name, os.listdir(args.watch)))
+                     if n not in seen]
         else:
             ready = _stable_new_files(args.watch, seen, sizes)
         if ready:
