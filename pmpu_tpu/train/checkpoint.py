@@ -180,23 +180,50 @@ def load_checkpoint_orbax(directory: str, like_state) -> tuple:
     return state, meta
 
 
+def _load_orbax_payload(directory: str) -> dict:
+    """Template-free read of an Orbax directory checkpoint (written by
+    ``save_checkpoint_orbax[_async]``) into the pickle-payload layout —
+    params/batch_stats/... plus meta.json's plateau/rng_key/extra."""
+    import json
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(directory)
+    with ocp.StandardCheckpointer() as ckptr:
+        payload = dict(ckptr.restore(os.path.join(path, "state")))
+    meta_path = os.path.join(path, "meta.json")
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    payload["plateau"] = meta.get("plateau")
+    payload["rng_key"] = meta.get("rng_key")
+    payload["extra"] = meta.get("extra", {})
+    return payload
+
+
 def load_for_inference(path: str, cfg):
     """Build (task, variables) for a checkpoint.
 
-    Framework checkpoints carry their model config (saved by the training
-    loop) — it overrides cfg's architecture flags so eval/predict always
-    reconstruct the trained architecture. torch ``state_dict`` files (the
-    reference's format) fall back to cfg's flags for the architecture.
+    Framework checkpoints (pickle file OR Orbax directory, e.g. an
+    ``--async-checkpoints`` epoch save) carry their model config (saved by
+    the training loop) — it overrides cfg's architecture flags so
+    eval/predict always reconstruct the trained architecture. torch
+    ``state_dict`` files (the reference's format) fall back to cfg's flags
+    for the architecture.
     """
     from pmpu_tpu.train.tasks import make_task
 
     payload = None
-    try:
-        payload = load_checkpoint(path)
-        if not (isinstance(payload, dict) and "params" in payload):
+    if os.path.isdir(path):
+        payload = _load_orbax_payload(path)
+    else:
+        try:
+            payload = load_checkpoint(path)
+            if not (isinstance(payload, dict) and "params" in payload):
+                payload = None
+        except Exception:
             payload = None
-    except Exception:
-        payload = None
 
     if payload is not None:
         mc = (payload.get("extra") or {}).get("model_config")

@@ -260,6 +260,19 @@ def test_train_net_async_checkpoints_resumable(tmp_path):
         jax.tree_util.tree_leaves(state.params),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the inference CLIs (eval/predict -f) load .orbax dirs too: the
+    # model config must come from meta.json, not the cfg flags
+    from pmpu_tpu.config import Config as Cfg
+
+    itask, ivars, icfg = ckpt.load_for_inference(
+        str(d), Cfg(net="probunet", n_classes=2, num_filters=(16, 32))
+    )
+    assert icfg.net == "unet" and tuple(icfg.num_filters) == (4, 8)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ivars["params"]),
+        jax.tree_util.tree_leaves(state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_padded_batcher_never_skips_validation():
