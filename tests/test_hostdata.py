@@ -184,8 +184,8 @@ def test_train_net_sharded_volumes_end_to_end(tmp_path):
     assert np.isfinite(hist["train_loss"]).all()
     assert len(hist["val_loss"]) == 2
     assert np.isfinite(hist["val_loss"]).all()
-    # loss should drop on this separable synthetic task
-    assert hist["train_loss"][-1] < hist["train_loss"][0] * 1.5
+    # loss must actually drop on this separable synthetic task
+    assert hist["train_loss"][-1] < hist["train_loss"][0]
 
 
 def test_sharded_triple_batcher_zero_weights_empty_pad_shard():

@@ -15,7 +15,9 @@ from pmpu_tpu.train.tasks import make_task
 from tests.test_train import make_synthetic_store
 
 pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs 8 virtual devices (conftest sets XLA_FLAGS)"
+    len(jax.devices()) < 8,
+    reason="needs 8 virtual devices (tests/conftest.py: jax.config.update"
+    "('jax_num_cpu_devices', 8) before backend init; XLA_FLAGS alone is ignored)",
 )
 
 
