@@ -43,13 +43,8 @@ def build_index_map_from_table(table: np.ndarray, filter: bool = True) -> np.nda
 def build_index_map(labels: np.ndarray, filter: bool = True) -> np.ndarray:
     """(M, 3) int32 array of (scan, view, slice) triples in reference order
     (scan-major, then view, then slice — ``mri_dataset.py:37-49``)."""
-    n = labels.shape[0]
-    s = labels.shape[1]
-    scans, views, slices = np.meshgrid(
-        np.arange(n), np.arange(NUM_VIEWS), np.arange(s), indexing="ij"
-    )
-    triples = np.stack([scans.ravel(), views.ravel(), slices.ravel()], axis=1).astype(np.int32)
-    if filter:
-        keep = nonempty_table(labels).ravel()
-        triples = triples[keep]
-    return triples
+    if not filter:
+        # unfiltered: only the shape matters, skip the label reduction
+        shape = (labels.shape[0], NUM_VIEWS, labels.shape[1])
+        return build_index_map_from_table(np.empty(shape, dtype=bool), filter=False)
+    return build_index_map_from_table(nonempty_table(labels), filter=True)

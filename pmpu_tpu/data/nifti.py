@@ -150,9 +150,16 @@ def load(path, dtype=np.float32) -> np.ndarray:
     arr = arr.reshape(shape, order="F")
     out = arr.astype(dtype)
     slope, inter = hdr.scl_slope, hdr.scl_inter
-    # scl_slope == 0 means "scaling unset" per the NIfTI-1 spec; nibabel's
-    # get_fdata ignores BOTH fields then (inter included) — match that
-    if slope != 0.0 and (slope != 1.0 or inter != 0.0):
+    # scl_slope == 0 (or NaN — some writers leave the fields unset as NaN)
+    # means "scaling unset" per the NIfTI-1 spec; nibabel's get_fdata
+    # ignores BOTH fields then (inter included) — match that. Non-finite
+    # values must never be multiplied in: that would NaN the whole volume.
+    if (
+        np.isfinite(slope)
+        and np.isfinite(inter)
+        and slope != 0.0
+        and (slope != 1.0 or inter != 0.0)
+    ):
         out = out * dtype(slope) + dtype(inter)
     return np.ascontiguousarray(out)
 
@@ -186,7 +193,9 @@ def save(path, data: np.ndarray, affine: np.ndarray | None = None) -> None:
     struct.pack_into("<4f", hdr, 312, *affine[2])
     hdr[344:348] = b"n+1\x00"
 
-    payload = bytes(hdr) + b"\x00" * 4 + np.asfortranarray(data).tobytes(order="F")
+    # tobytes(order="F") serializes column-major directly — no asfortranarray
+    # copy first (that would materialize a second full-volume buffer per save)
+    payload = bytes(hdr) + b"\x00" * 4 + data.tobytes(order="F")
     Path(path).parent.mkdir(parents=True, exist_ok=True)
     with _open(path, "wb") as f:
         f.write(payload)

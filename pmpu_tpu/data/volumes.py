@@ -44,7 +44,13 @@ def _squeeze3d(vol: np.ndarray) -> np.ndarray:
 
 def pad_to_cube(vol: np.ndarray, size: int | None = None) -> np.ndarray:
     """Zero-pad a 3-D volume at the high end of each axis to ``size``
-    (default: its own max dimension) — reference ``mri_dataset.py:85-98``."""
+    (default: its own max dimension) — reference ``mri_dataset.py:85-98``.
+
+    Trailing singleton dims are squeezed first (common in NIfTI files that
+    declare dim[0]=4 with a unit 4th axis); true non-3-D input raises
+    instead of silently padding the extra axis into the cube."""
+    if vol.ndim != 3:
+        vol = _squeeze3d(vol)
     target = int(max(vol.shape)) if size is None else int(size)
     pads = [(0, target - s) for s in vol.shape]
     if any(p[1] < 0 for p in pads):
@@ -100,7 +106,11 @@ class VolumeStore:
         ``pmpu_tpu.parallel.hostdata``). ``cube``: force the pad-to-cube
         size; pass the GLOBAL max when loading a subset so every host pads
         identically (default: max over the loaded volumes)."""
-        ids = sorted(os.listdir(imgs_dir)) if names is None else sorted(names)
+        ids = (
+            sorted(filter(nifti.is_nifti_name, os.listdir(imgs_dir)))
+            if names is None
+            else sorted(names)
+        )
         if not ids:
             raise FileNotFoundError(f"no volumes in {imgs_dir}")
         img_paths = [os.path.join(imgs_dir, n) for n in ids]
@@ -110,19 +120,40 @@ class VolumeStore:
             from pmpu_tpu.data import native
 
             if native.available():
-                # same image-vs-label shape guard as the Python path below:
-                # zero-padding mismatched pairs to a common cube would leave
-                # labels silently misaligned with the image grid
-                img_shapes = [tuple(native.read_shape(p)[:3]) for p in img_paths]
-                for ish, lp, name in zip(img_shapes, lbl_paths, ids):
-                    lsh = tuple(native.read_shape(lp)[:3])
-                    if ish != lsh:
-                        raise ValueError(f"{name}: image {ish} != label {lsh}")
-                c = cube or int(max(max(s) for s in img_shapes))
-                images = native.load_dataset(img_paths, c)
-                labels = native.load_dataset(lbl_paths, c).astype(np.int32)
-                return cls(images=images.astype(dtype, copy=False), labels=labels, ids=ids, cube=c)
-            if use_native:
+                def _shape3(p):
+                    """Header shape with the same squeeze-to-3-D semantics
+                    as the Python path's ``_squeeze3d``: trailing unit dims
+                    are fine (the native reader loads exactly nx*ny*nz
+                    voxels), anything else must not silently truncate."""
+                    sh = native.read_shape(p)
+                    if len(sh) < 3 or any(d != 1 for d in sh[3:]):
+                        raise ValueError(f"{p}: expected a 3-D volume, got shape {sh}")
+                    return tuple(sh[:3])
+
+                try:
+                    # same image-vs-label shape guard as the Python path
+                    # below: zero-padding mismatched pairs to a common cube
+                    # would leave labels silently misaligned with the grid
+                    img_shapes = [_shape3(p) for p in img_paths]
+                    for ish, lp, name in zip(img_shapes, lbl_paths, ids):
+                        lsh = _shape3(lp)
+                        if ish != lsh:
+                            raise ValueError(f"{name}: image {ish} != label {lsh}")
+                except ValueError:
+                    if use_native:
+                        raise
+                    # a header the native reader can't represent (e.g.
+                    # big-endian → header error, or a true 4-D file) falls
+                    # back to the Python loader, which either handles it or
+                    # raises its own precise error — never a silent
+                    # frame-0 load
+                    img_shapes = None
+                if img_shapes is not None:
+                    c = cube or int(max(max(s) for s in img_shapes))
+                    images = native.load_dataset(img_paths, c)
+                    labels = native.load_dataset(lbl_paths, c).astype(np.int32)
+                    return cls(images=images.astype(dtype, copy=False), labels=labels, ids=ids, cube=c)
+            elif use_native:
                 raise RuntimeError("native io requested but unavailable")
 
         imgs, lbls = [], []

@@ -302,6 +302,60 @@ def test_nifti_big_endian_data(tmp_path):
     np.testing.assert_array_equal(out, data)
 
 
+def test_nifti_nan_scl_fields_ignored(tmp_path):
+    # some writers leave scl_slope/scl_inter as NaN instead of 0: "unset"
+    # must not NaN the whole volume (nibabel treats non-finite as unset too)
+    import struct
+
+    data = np.arange(8, dtype=np.int16).reshape(2, 2, 2)
+    p = tmp_path / "v.nii"
+    nifti.save(p, data)
+    raw = bytearray(p.read_bytes())
+    struct.pack_into("<f", raw, 112, float("nan"))  # scl_slope
+    struct.pack_into("<f", raw, 116, float("nan"))  # scl_inter
+    p.write_bytes(bytes(raw))
+    out = nifti.load(p)
+    assert np.all(np.isfinite(out))
+    np.testing.assert_array_equal(out, data)
+    # finite slope but NaN inter is equally unusable — ignore both
+    struct.pack_into("<f", raw, 112, 2.0)
+    p.write_bytes(bytes(raw))
+    np.testing.assert_array_equal(nifti.load(p), data)
+
+
+def test_nifti_save_non_contiguous_input(tmp_path):
+    # save serializes with tobytes(order="F") directly (no asfortranarray
+    # staging copy); a transposed (non-contiguous) view must still roundtrip
+    base = (RNG.random((5, 4, 3)) * 10).astype(np.float32)
+    t = base.transpose(2, 0, 1)
+    assert not t.flags["C_CONTIGUOUS"] and not t.flags["F_CONTIGUOUS"]
+    p = tmp_path / "t.nii"
+    nifti.save(p, t)
+    np.testing.assert_array_equal(nifti.load(p), t)
+
+
+def test_pad_to_cube_squeezes_trailing_singleton_and_rejects_true_4d():
+    v = RNG.random((3, 4, 4, 1))
+    out = pad_to_cube(v)
+    assert out.shape == (4, 4, 4)
+    np.testing.assert_array_equal(out[:3], v[..., 0])
+    with pytest.raises(ValueError):
+        pad_to_cube(RNG.random((3, 4, 4, 2)))
+
+
+def test_volume_store_ignores_non_nifti_files(tmp_path):
+    (tmp_path / "images").mkdir()
+    (tmp_path / "labels").mkdir()
+    vol = RNG.random((4, 4, 4)).astype(np.float32)
+    nifti.save(tmp_path / "images" / "image0.nii", vol)
+    nifti.save(tmp_path / "labels" / "image0.nii", np.zeros((4, 4, 4), np.float32))
+    (tmp_path / "images" / "README.txt").write_text("not a volume")
+    (tmp_path / "images" / ".DS_Store").write_bytes(b"\x00" * 16)
+    store = VolumeStore.from_dirs(tmp_path / "images", tmp_path / "labels")
+    assert store.ids == ["image0.nii"]
+    assert store.images.shape == (1, 4, 4, 4)
+
+
 def test_volume_store_squeezes_trailing_singleton(tmp_path):
     (tmp_path / "images").mkdir()
     (tmp_path / "labels").mkdir()

@@ -76,3 +76,39 @@ def test_native_store_rejects_shape_mismatch(tmp_path):
     nifti.save(tmp_path / "labels" / "v.nii", np.zeros((4, 4, 4), np.float32))
     with pytest.raises(ValueError, match="image .* != label"):
         VolumeStore.from_dirs(tmp_path / "images", tmp_path / "labels", use_native=True)
+
+
+def _write_big_endian_pair(tmp_path):
+    """A big-endian NIfTI pair: the native reader rejects the header (it is
+    little-endian only), the Python codec handles the byteswap."""
+    import struct
+
+    data = np.arange(24, dtype=np.int16).reshape(2, 3, 4)
+    for sub in ("images", "labels"):
+        (tmp_path / sub).mkdir(exist_ok=True)
+        p = tmp_path / sub / "be.nii"
+        le = tmp_path / f"_le_{sub}.nii"
+        nifti.save(le, data)
+        hdr = le.read_bytes()[:352]
+        be = bytearray(hdr)
+        struct.pack_into(">i", be, 0, 348)
+        struct.pack_into(">8h", be, 40, *struct.unpack("<8h", hdr[40:56]))
+        struct.pack_into(">h", be, 70, 4)
+        struct.pack_into(">h", be, 72, 16)
+        struct.pack_into(">f", be, 108, 352.0)
+        struct.pack_into(">f", be, 112, 1.0)
+        struct.pack_into(">f", be, 116, 0.0)
+        p.write_bytes(bytes(be) + np.asfortranarray(data).byteswap().tobytes(order="F"))
+    return data
+
+
+def test_volume_store_falls_back_to_python_on_native_header_error(tmp_path):
+    # default (use_native=None): a header the native reader can't represent
+    # silently falls back to the Python loader instead of failing the load
+    data = _write_big_endian_pair(tmp_path)
+    store = VolumeStore.from_dirs(tmp_path / "images", tmp_path / "labels")
+    assert store.images.shape == (1, 4, 4, 4)
+    np.testing.assert_array_equal(store.images[0, :2, :3, :4], data)
+    # explicit use_native=True must NOT silently fall back
+    with pytest.raises(ValueError):
+        VolumeStore.from_dirs(tmp_path / "images", tmp_path / "labels", use_native=True)
