@@ -32,6 +32,15 @@ pre-product). Verified by tests/test_qconv_kernel.py.
 Static input scales are REQUIRED (``calibrate_unet`` /
 ``calibrate_probunet`` — the shipped default); the dynamic-amax fallback
 stays on the XLA path.
+
+Outcome (v5e, round 2 — full table in docs/PERF.md): NEUTRAL, kept
+opt-in. Mid-size stages win ≤1.19× (within tunnel variance); the 128px
+full-resolution stages — where the quant/dequant HBM traffic actually
+lives — need the row-tiled variant (whole-image intermediates exceed
+VMEM) and LOSE (0.56–0.85×: halo recompute + stripe re-reads outweigh
+the fused epilogue). The XLA int8 path stays shipped; this kernel is the
+measured answer to "would a fused quantize-epilogue conv close the
+remaining int8 gap?" — no.
 """
 
 from __future__ import annotations
@@ -45,15 +54,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _chain_kernel(layer_meta, out_dtype, H, W, xs_ref, x_ref, *refs):
-    """One grid step = one image. ``layer_meta``: static list of
-    (ntap, cin, cout); refs = [w0, sb0, w1, sb1, ..., out]."""
-    out_ref = refs[-1]
+def _run_chain(cur, layer_meta, refs, xs_ref, H, W, row_mask=None):
+    """The shared conv-chain body on a flattened (H·W, C) f32 image (or row
+    stripe). ``row_mask`` (H·W, 1) bool zeroes rows outside the true image
+    after every layer (tiled variant: stripe rows beyond the volume edge
+    must read as conv zero-padding, not relu(bias))."""
     HW = H * W
     # column index of every flattened row (static for all layers)
     xcol = jax.lax.broadcasted_iota(jnp.int32, (HW, 1), 0) % W
-
-    cur = x_ref[0].astype(jnp.float32)  # (HW, Cin)
+    if row_mask is not None:
+        cur = jnp.where(row_mask, cur, 0.0)
     for li, (ntap, cin, cout) in enumerate(layer_meta):
         w_ref, sb_ref = refs[2 * li], refs[2 * li + 1]
         xs = xs_ref[li, 0]
@@ -77,7 +87,45 @@ def _chain_kernel(layer_meta, out_dtype, H, W, xs_ref, x_ref, *refs):
                 acc = acc + jnp.dot(a, w_ref[t], preferred_element_type=jnp.int32)
         y = acc.astype(jnp.float32) * sb_ref[0] + sb_ref[1]
         cur = jnp.maximum(y, 0.0)
+        if row_mask is not None:
+            cur = jnp.where(row_mask, cur, 0.0)
+    return cur
+
+
+def _chain_kernel(layer_meta, out_dtype, H, W, xs_ref, x_ref, *refs):
+    """One grid step = one whole image. ``layer_meta``: static list of
+    (ntap, cin, cout); refs = [w0, sb0, w1, sb1, ..., out]."""
+    out_ref = refs[-1]
+    cur = _run_chain(x_ref[0].astype(jnp.float32), layer_meta, refs, xs_ref, H, W)
     out_ref[0] = cur.astype(out_dtype)
+
+
+def _tiled_chain_kernel(
+    layer_meta, out_dtype, H, W, TH, HALO, xs_ref, tail_ref, x_ref, head_ref, *refs
+):
+    """One grid step = one TH-row stripe of one image (VMEM cap at big H·W).
+
+    The stripe is [tail (HALO rows of the previous tile), cur (TH rows),
+    head (HALO rows of the next tile)]; boundary tiles get their tail/head
+    zeroed by the global-row mask (their block indices are clamped, so the
+    data is garbage there). HALO = #3×3 layers: after layer k the k outermost
+    stripe rows are stale, so the central TH rows stay exact (recompute-halo
+    scheme — no inter-tile communication). Output = the central TH rows.
+    """
+    out_ref = refs[-1]
+    j = pl.program_id(1)
+    SH = TH + 2 * HALO
+    stripe = jnp.concatenate(
+        [tail_ref[0], x_ref[0], head_ref[0]], axis=0
+    ).astype(jnp.float32)
+    # global image row of each stripe row; rows outside [0, H) are halo
+    # beyond the volume edge and must stay exactly zero through the chain
+    grow = (
+        j * TH - HALO + jax.lax.broadcasted_iota(jnp.int32, (SH * W, 1), 0) // W
+    )
+    mask = (grow >= 0) & (grow < H)
+    cur = _run_chain(stripe, layer_meta, refs, xs_ref, SH, W, row_mask=mask)
+    out_ref[0] = cur[HALO * W : (HALO + TH) * W].astype(out_dtype)
 
 
 def _prep_layer(layer):
@@ -94,6 +142,67 @@ def _prep_layer(layer):
     # same contraction order as the XLA epilogue: (xs*ws) once, then *acc
     sb = jnp.stack([layer["xs"] * layer["ws"], layer["b"]]).astype(jnp.float32)
     return w9, sb, jnp.asarray(layer["xs"], jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h", "w", "tile_h", "layer_meta", "out_dtype", "interpret"),
+)
+def _fused_qchain_tiled(
+    x2, xs_arr, flat, *, h, w, tile_h, layer_meta, out_dtype, interpret
+):
+    n, hw, cin = x2.shape
+    cl = layer_meta[-1][2]
+    halo = sum(1 for nt, _, _ in layer_meta if nt == 9)
+    if tile_h % halo:
+        raise ValueError(f"tile_h {tile_h} must be a multiple of halo {halo}")
+    if h % tile_h:
+        raise ValueError(f"H {h} must be divisible by tile_h {tile_h}")
+    nj = h // tile_h
+    r = tile_h // halo  # halo-block units per tile
+    in_specs = [
+        pl.BlockSpec((len(layer_meta), 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        # tail: last HALO rows of tile j-1 (block units of HALO·W rows);
+        # clamped at the top edge — the kernel's row mask zeroes it there
+        pl.BlockSpec(
+            (1, halo * w, cin),
+            lambda i, j: (i, jnp.maximum(j * r - 1, 0), 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, tile_h * w, cin), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        # head: first HALO rows of tile j+1, clamped at the bottom edge
+        pl.BlockSpec(
+            (1, halo * w, cin),
+            lambda i, j: (i, jnp.minimum((j + 1) * r, nj * r - 1), 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    for ntap, ci, co in layer_meta:
+        in_specs.append(
+            pl.BlockSpec(
+                (ntap, ci, co), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM
+            )
+        )
+        in_specs.append(
+            pl.BlockSpec((2, co), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+        )
+    return pl.pallas_call(
+        functools.partial(
+            _tiled_chain_kernel, layer_meta, out_dtype, h, w, tile_h, halo
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, hw, cl), out_dtype),
+        grid=(n, nj),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, tile_h * w, cl), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xs_arr, x2, x2, x2, *flat)
 
 
 @functools.partial(
@@ -128,12 +237,20 @@ def _fused_qchain(x2, xs_arr, flat, *, h, w, layer_meta, out_dtype, interpret):
     )(xs_arr, x2, *flat)
 
 
-def fused_qchain(x, layers, out_dtype=jnp.bfloat16, interpret: bool = False):
+def fused_qchain(
+    x, layers, out_dtype=jnp.bfloat16, interpret: bool = False,
+    tile_h: int | None = None,
+):
     """Run a chain of quantized convs (quantized.py layer dicts, all
     stride-1 SAME, 3×3 or 1×1) fused in one Pallas kernel.
 
     x: (N, H, W, Cin) bf16/f32 → (N, H, W, Cout_last) ``out_dtype``.
     Bit-exact with ``_qconv`` chained through f32 virtual intermediates.
+
+    ``tile_h``: process TH-row stripes per grid step instead of whole
+    images — required at big H·W where the whole-image intermediates
+    exceed the ~16 MB VMEM (the 128px stages), and a pipelining lever
+    elsewhere. Must divide H and be a multiple of the 3×3-layer count.
     """
     n, h, w_, cin = x.shape
     prepped = [_prep_layer(l) for l in layers]
@@ -145,10 +262,16 @@ def fused_qchain(x, layers, out_dtype=jnp.bfloat16, interpret: bool = False):
     flat = [a for p in prepped for a in p[:2]]
     xs_arr = jnp.stack([p[2] for p in prepped]).reshape(len(prepped), 1)
     x2 = x.reshape(n, h * w_, cin)
-    out = _fused_qchain(
-        x2, xs_arr, tuple(flat), h=h, w=w_, layer_meta=layer_meta,
-        out_dtype=out_dtype, interpret=interpret,
-    )
+    if tile_h is not None and tile_h < h:
+        out = _fused_qchain_tiled(
+            x2, xs_arr, tuple(flat), h=h, w=w_, tile_h=tile_h,
+            layer_meta=layer_meta, out_dtype=out_dtype, interpret=interpret,
+        )
+    else:
+        out = _fused_qchain(
+            x2, xs_arr, tuple(flat), h=h, w=w_, layer_meta=layer_meta,
+            out_dtype=out_dtype, interpret=interpret,
+        )
     return out.reshape(n, h, w_, layer_meta[-1][2])
 
 

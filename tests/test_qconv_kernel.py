@@ -75,6 +75,53 @@ def test_fused_qchain_edge_zero_padding():
     assert not np.allclose(got[0, 0, 0], got[0, 3, 3])  # corner != interior
 
 
+@pytest.mark.parametrize(
+    "shapes,hw,tile",
+    [
+        ([(1, 8), (8, 8)], 16, 4),    # inc family: Cin=1, 4 row tiles
+        ([(16, 8), (8, 8)], 16, 2),   # dec family, tile == halo (minimum)
+        ([(4, 8), (8, 8)], 8, 8),     # tile_h == H → whole-image fallback
+        ([(4, 8), (8, 16)], 12, 6),   # non-pow2 dims
+        ([(4, 8), (8, 8), (8, 4)], 12, 3),  # 3-layer chain, halo 3
+    ],
+)
+def test_fused_qchain_tiled_matches_whole_image(shapes, hw, tile):
+    """Row-tiled kernel (VMEM cap at 128px) is bit-identical to the
+    whole-image kernel on every tile layout, including edge tiles."""
+    layers = make_random_chain(jax.random.PRNGKey(0), shapes)
+    x = (
+        jax.random.normal(jax.random.PRNGKey(1), (3, hw, hw, shapes[0][0])) * 0.3
+    ).astype(jnp.float32)
+    full = np.asarray(fused_qchain(x, layers, out_dtype=jnp.float32, interpret=True))
+    tiled = np.asarray(
+        fused_qchain(x, layers, out_dtype=jnp.float32, interpret=True, tile_h=tile)
+    )
+    np.testing.assert_array_equal(tiled, full)
+    oracle = np_oracle(np.asarray(x), layers)
+    np.testing.assert_allclose(tiled, oracle, rtol=2e-6, atol=2e-6)
+
+
+def test_fused_qchain_tiled_edge_rows_zero_padded():
+    # constant image: the stripe boundary rows must see conv zero-padding,
+    # not relu(bias) from the clamped neighbor block (top/bottom tiles)
+    layers = make_random_chain(jax.random.PRNGKey(3), [(4, 4), (4, 4)])
+    x = jnp.ones((1, 8, 8, 4), jnp.float32)
+    full = np.asarray(fused_qchain(x, layers, out_dtype=jnp.float32, interpret=True))
+    tiled = np.asarray(
+        fused_qchain(x, layers, out_dtype=jnp.float32, interpret=True, tile_h=2)
+    )
+    np.testing.assert_array_equal(tiled, full)
+
+
+def test_fused_qchain_tiled_rejects_bad_tile():
+    layers = make_random_chain(jax.random.PRNGKey(0), [(4, 4), (4, 4)])
+    x = jnp.ones((1, 12, 12, 4), jnp.float32)
+    with pytest.raises(ValueError, match="divisible"):
+        fused_qchain(x, layers, interpret=True, tile_h=10)
+    with pytest.raises(ValueError, match="multiple"):
+        fused_qchain(x, layers, interpret=True, tile_h=3)
+
+
 def test_fused_qchain_rejects_uncalibrated():
     layers = make_random_chain(jax.random.PRNGKey(0), [(4, 4)])
     layers[0]["xs"] = None

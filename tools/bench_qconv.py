@@ -26,16 +26,19 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 from pmpu_tpu.ops.pallas.qconv import chain_reference, fused_qchain, make_random_chain
 
-# (name, chain cin→cout pairs, H=W) — the quantized stages of the 128³
-# probunet eval (unet backbone levels + decoder concat pairs, prior encoder
-# shares the same families)
+# (name, chain cin→cout pairs, H=W, tile_h) — the quantized stages of the
+# 128³ probunet eval (unet backbone levels + decoder concat pairs, prior
+# encoder shares the same families). tile_h=None → whole-image kernel;
+# the 128px stages NEED row tiles (whole-image intermediates exceed VMEM).
 CASES = [
-    ("inc_1>64>64_128px", [(1, 64), (64, 64)], 128),
-    ("dec_128>64>64_128px", [(128, 64), (64, 64)], 128),
-    ("down0_64>128>128_64px", [(64, 128), (128, 128)], 64),
-    ("down1_128>256>256_32px", [(128, 256), (256, 256)], 32),
-    ("down2_256>512>512_16px", [(256, 512), (512, 512)], 16),
-    ("down3_512>1024>1024_8px", [(512, 1024), (1024, 1024)], 8),
+    ("inc_1>64>64_128px", [(1, 64), (64, 64)], 128, 32),
+    ("dec_128>64>64_128px", [(128, 64), (64, 64)], 128, 32),
+    ("dec64_128>64>64_64px", [(128, 64), (64, 64)], 64, None),
+    ("dec32_256>128>128_32px", [(256, 128), (128, 128)], 32, None),
+    ("down0_64>128>128_64px", [(64, 128), (128, 128)], 64, None),
+    ("down1_128>256>256_32px", [(128, 256), (256, 256)], 32, None),
+    ("down2_256>512>512_16px", [(256, 512), (512, 512)], 16, None),
+    ("down3_512>1024>1024_8px", [(512, 1024), (1024, 1024)], 8, None),
 ]
 
 
@@ -62,13 +65,19 @@ def main():
     ap.add_argument("--repeats", type=int, default=10)
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--cases", default="", help="comma filter on case names")
+    ap.add_argument(
+        "--tile", type=int, default=-1,
+        help="override tile_h for all cases (-1 = per-case default, 0 = whole image)",
+    )
     args = ap.parse_args()
 
     dev = jax.devices()[0].platform
     summary = {}
-    for name, shapes, hw in CASES:
+    for name, shapes, hw, tile in CASES:
         if args.cases and not any(c in name for c in args.cases.split(",")):
             continue
+        if args.tile >= 0:
+            tile = args.tile or None
         layers = make_random_chain(jax.random.PRNGKey(0), shapes)
         x = (
             jax.random.normal(jax.random.PRNGKey(1), (args.n, hw, hw, shapes[0][0]))
@@ -78,10 +87,10 @@ def main():
 
         xla = jax.jit(lambda v: chain_reference(v, layers, out_dtype=jnp.bfloat16))
         pal = jax.jit(
-            lambda v: fused_qchain(v, layers, out_dtype=jnp.bfloat16)
+            lambda v: fused_qchain(v, layers, out_dtype=jnp.bfloat16, tile_h=tile)
         )
 
-        rec = {"case": name, "n": args.n, "hw": hw, "device": dev}
+        rec = {"case": name, "n": args.n, "hw": hw, "tile_h": tile, "device": dev}
         try:
             a = np.asarray(xla(x), np.float32)
             b = np.asarray(pal(x), np.float32)
