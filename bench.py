@@ -46,7 +46,9 @@ Extra fields on the same line (measurement protocol, VERDICT r1 items 1/7/8):
 Env knobs: BENCH_CUBE/SAMPLES/EVAL_BATCH/REPEATS/BF16/FILTERS/MODE,
 BENCH_QUANTIZE=int8 for the quantized eval path, BENCH_TRAIN_BATCH for the
 train sub-benchmark's batch (default 128 = measured v5e optimum),
-BENCH_SKIP_TRAIN=1 to drop the train sub-benchmark, BENCH_PEAK_TFLOPS.
+BENCH_SKIP_TRAIN=1 to drop the train sub-benchmark, BENCH_PEAK_TFLOPS,
+BENCH_INPUT_DTYPE=uint8|bfloat16|float32 for the H2D volume wire dtype
+(default auto: bf16 iff BENCH_BF16).
 """
 
 from __future__ import annotations
@@ -67,6 +69,7 @@ MODE = os.environ.get("BENCH_MODE", "infer")  # infer | train
 if MODE not in ("infer", "train"):
     sys.exit(f"bench.py: unknown BENCH_MODE={MODE!r} (expected 'infer' or 'train')")
 QUANTIZE = os.environ.get("BENCH_QUANTIZE") or None  # int8 | unset
+INPUT_DTYPE = os.environ.get("BENCH_INPUT_DTYPE") or None  # wire dtype | auto
 SKIP_TRAIN = os.environ.get("BENCH_SKIP_TRAIN", "0") == "1"
 FILTERS = tuple(
     int(x) for x in os.environ.get("BENCH_FILTERS", "64,128,256,512,1024").split(",")
@@ -204,7 +207,10 @@ def bench_infer() -> dict:
         jnp.zeros((2, s, s, 1), jnp.float32),
         jnp.zeros((2, s, s, 1), jnp.int32),
     )
-    ev = VolumeEvaluator(task, n_samples=SAMPLES, eval_batch=EVAL_BATCH, quantize=QUANTIZE)
+    ev = VolumeEvaluator(
+        task, n_samples=SAMPLES, eval_batch=EVAL_BATCH, quantize=QUANTIZE,
+        input_dtype=INPUT_DTYPE,
+    )
 
     vols = [rng.random((s, s, s)).astype(np.float32) for _ in range(REPEATS)]
 

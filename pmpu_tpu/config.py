@@ -82,6 +82,10 @@ class Config:
     quantize: Optional[str] = None  # eval: None | "int8" — post-training
     # dynamic int8 inference (BN-folded convs on the MXU int8 path; ~1.7x
     # conv throughput on v5e, pmpu_tpu/models/quantized.py)
+    input_dtype: Optional[str] = None  # eval H2D wire dtype: None (auto:
+    # bf16 iff --bf16), "float32", "bfloat16", "uint8" (8-bit fixed point
+    # vs per-volume max — half of bf16's upload bytes; the on-device
+    # per-slice max normalization cancels the scale; see VolumeEvaluator)
     slice_filter: bool = True  # drop all-background slices from TRAINING
     # (reference semantics, mri_dataset.py:45-47). False = include them:
     # whole-volume eval runs every slice (eval.py:100), and a model that
@@ -205,6 +209,12 @@ def _add_extension_args(p: argparse.ArgumentParser):
                    choices=["int8"],
                    help="post-training dynamic int8 inference (eval/predict/"
                    "serve; ~1.7x conv throughput on the v5e MXU)")
+    g.add_argument("--input-dtype", dest="input_dtype", type=str, default=None,
+                   choices=["float32", "bfloat16", "uint8"],
+                   help="eval H2D volume wire dtype (default: bf16 iff --bf16)"
+                   "; uint8 = 8-bit fixed point vs per-volume max, half of "
+                   "bf16's upload bytes (per-slice max normalization on "
+                   "device cancels the scale)")
     g.add_argument("--include-empty-slices", dest="slice_filter",
                    action="store_false",
                    help="train on all-background slices too (reference drops "

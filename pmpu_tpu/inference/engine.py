@@ -100,13 +100,23 @@ class VolumeEvaluator:
               the parity mode used by tools/compare_with_reference.py;
               all n_samples collapse to one decode)
       input_dtype: host→device image transfer dtype — None (auto: bf16 when
-              the model computes in bf16, else f32), "float32", "bfloat16".
-              On tunneled/PCIe links the VOLUME UPLOAD, not device compute,
-              bounds per-volume wall-clock (measured: 128³ f32 upload
-              ~198 ms vs ~97 ms bf16 vs ~104 ms device compute on v5e
-              through the tunnel — docs/PERF.md); the program upcasts to
-              f32 before per-slice max normalization, and the model casts
-              to its compute dtype at the first conv either way.
+              the model computes in bf16, else f32), "float32", "bfloat16",
+              or "uint8". On tunneled/PCIe links the VOLUME UPLOAD, not
+              device compute, bounds per-volume wall-clock (measured: 128³
+              f32 upload ~198 ms vs ~97 ms bf16 vs ~104 ms device compute
+              on v5e through the tunnel — docs/PERF.md); the program
+              upcasts to f32 before per-slice max normalization, and the
+              model casts to its compute dtype at the first conv either way.
+              "uint8" ships 8-bit fixed point scaled by the per-VOLUME max
+              (half of bf16's bytes): the on-device per-slice max
+              normalization (reference ``mri_dataset.py:109-110``) cancels
+              the global scale, so only the ≤0.5/255-of-volume-max rounding
+              survives. Caveat: a slice whose own max is a small fraction f
+              of the volume max keeps only ~255·f levels (the per-slice
+              normalize amplifies the rounding by 1/f) — opt-in; validate
+              dice on data with strong per-slice brightness variation.
+              Volumes with negative intensities fall back to bf16 (a shift
+              would not cancel under max normalization).
       quantize: None | "int8" — post-training dynamic int8 inference
               (``pmpu_tpu.models.quantized``): BN-folded int8 convs for the
               UNet backbone (+ prior encoder for probunet) on the MXU's
@@ -135,14 +145,19 @@ class VolumeEvaluator:
         if input_dtype is None:
             net_dtype = getattr(task.net, "dtype", None)
             input_dtype = "bfloat16" if net_dtype == jnp.bfloat16 else "float32"
-        if input_dtype not in ("float32", "bfloat16"):
+        if input_dtype not in ("float32", "bfloat16", "uint8"):
             raise ValueError(
-                f"input_dtype must be 'float32' or 'bfloat16', got {input_dtype!r}"
+                "input_dtype must be 'float32', 'bfloat16' or 'uint8', "
+                f"got {input_dtype!r}"
             )
         import ml_dtypes
 
+        self._bf16_wire = np.dtype(ml_dtypes.bfloat16)
+        self._u8_upload = input_dtype == "uint8"
         self.input_dtype = np.dtype(
-            ml_dtypes.bfloat16 if input_dtype == "bfloat16" else np.float32
+            np.uint8 if input_dtype == "uint8"
+            else ml_dtypes.bfloat16 if input_dtype == "bfloat16"
+            else np.float32
         )
         if quantize not in (None, "int8"):
             raise ValueError(f"quantize must be None or 'int8', got {quantize!r}")
@@ -198,10 +213,21 @@ class VolumeEvaluator:
     def _upload(self, vol):
         """Host→device image upload in the transfer dtype (see class doc).
         Device-resident arrays pass through untouched (tests / pre-staged
-        volumes); the host cast of a 128³ volume costs ~2 ms."""
+        volumes); the host cast of a 128³ volume costs ~2 ms. uint8 mode
+        quantizes against the per-VOLUME max (last-3-axes max, so batched
+        (V,S,S,S) inputs scale each volume independently)."""
         if isinstance(vol, jax.Array):
             return vol
         arr = np.asarray(vol)
+        if self._u8_upload:
+            if arr.dtype == np.uint8:
+                return jax.device_put(arr)
+            a = arr.astype(np.float32, copy=False)
+            if a.min() < 0:  # sign can't ride the scale-cancelling wire format
+                return jax.device_put(a.astype(self._bf16_wire))
+            m = a.max(axis=tuple(range(a.ndim - 3, a.ndim)), keepdims=True)
+            q = a * np.divide(255.0, m, out=np.zeros_like(m), where=m > 0)
+            return jax.device_put(np.rint(q).astype(np.uint8))
         if arr.dtype != self.input_dtype:
             arr = arr.astype(self.input_dtype)
         return jax.device_put(arr)

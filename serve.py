@@ -57,6 +57,10 @@ def get_args():
                    help="bfloat16 compute + compact bf16 volume uploads")
     p.add_argument("--quantize", type=str, default=None, choices=["int8"],
                    help="post-training dynamic int8 inference")
+    p.add_argument("--input-dtype", dest="input_dtype", type=str, default=None,
+                   choices=["float32", "bfloat16", "uint8"],
+                   help="H2D volume wire dtype (default: bf16 iff --bf16); "
+                   "uint8 halves bf16's upload bytes")
     p.add_argument("--compile-cache", dest="compile_cache", type=str, default=None)
     p.add_argument("--n-classes", dest="n_classes", type=int, default=3,
                    help="output classes (needed for raw torch state_dict "
@@ -131,6 +135,7 @@ def main() -> int:
         eval_batch=cfg.eval_batch,
         num_views=cfg.num_views,
         quantize=args.quantize,
+        input_dtype=args.input_dtype,
     )
     os.makedirs(args.out, exist_ok=True)
     if args.uncertainty:

@@ -69,3 +69,51 @@ def test_input_transfer_dtype_quality_and_auto_selection():
     )["dice"]
     # f32 compute with bf16-rounded INPUTS only: dice within 0.01
     np.testing.assert_allclose(d_b, d_f, atol=0.01)
+
+    # uint8 wire (8-bit fixed point vs per-volume max; the on-device
+    # per-slice max normalization cancels the scale): dice within 0.01
+    # and near-total argmax agreement with the f32-shipped volume
+    ev_u8 = VolumeEvaluator(task, eval_batch=24, input_dtype="uint8")
+    r_u = ev_u8.evaluate_volume(
+        variables, store.images[0], store.labels[0], jax.random.key(1)
+    )
+    r_f = ev_f32.evaluate_volume(
+        variables, store.images[0], store.labels[0], jax.random.key(1)
+    )
+    np.testing.assert_allclose(r_u["dice"], d_f, atol=0.01)
+    agree = np.mean(r_u["argmax"] == r_f["argmax"])
+    assert agree > 0.995, f"uint8-wire argmax agreement {agree:.4f}"
+
+
+def test_uint8_upload_wire_format():
+    """uint8 H2D mode: per-volume max scaling (scale-invariant bytes),
+    per-volume independence for batched (V,S,S,S) uploads, all-zero
+    passthrough, and the bf16 fallback for signed volumes."""
+    import ml_dtypes
+
+    task = make_task("unet", n_classes=3, num_filters=(4, 8))
+    ev = VolumeEvaluator(task, eval_batch=8, input_dtype="uint8")
+    assert ev.input_dtype == np.uint8
+
+    rng = np.random.default_rng(0)
+    vol = rng.random((8, 8, 8)).astype(np.float32)
+    a = np.asarray(ev._upload(vol))
+    b = np.asarray(ev._upload(vol * 7.25))  # global scale cancels exactly
+    assert a.dtype == np.uint8 and np.array_equal(a, b)
+    assert a.max() == 255  # full-scale quantization against the volume max
+
+    batch = np.stack([vol, vol * 0.01])  # (V,S,S,S): each volume own scale
+    q = np.asarray(ev._upload(batch))
+    assert q.dtype == np.uint8
+    np.testing.assert_array_equal(q[0], q[1])
+
+    z = np.asarray(ev._upload(np.zeros((4, 4, 4), np.float32)))
+    assert z.dtype == np.uint8 and not z.any()
+
+    neg = vol - 0.5  # signed intensities can't ride the scale-cancelling wire
+    f = np.asarray(ev._upload(neg).astype(np.float32))
+    assert np.asarray(ev._upload(neg)).dtype == ml_dtypes.bfloat16
+    np.testing.assert_allclose(f, neg.astype(ml_dtypes.bfloat16).astype(np.float32))
+
+    pre = (vol * 255).astype(np.uint8)  # pre-quantized host arrays pass through
+    np.testing.assert_array_equal(np.asarray(ev._upload(pre)), pre)
