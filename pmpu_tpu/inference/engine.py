@@ -22,6 +22,7 @@ rotation — the reference's unimplemented TODO (``mri_dataset.py:71``).
 
 from __future__ import annotations
 
+import logging
 from typing import Optional
 
 import jax
@@ -223,7 +224,16 @@ class VolumeEvaluator:
             if arr.dtype == np.uint8:
                 return jax.device_put(arr)
             a = arr.astype(np.float32, copy=False)
-            if a.min() < 0:  # sign can't ride the scale-cancelling wire format
+            # Signs can't ride the scale-cancelling wire format, and NaN/inf
+            # would silently zero the scaled volume (NaN max defeats the
+            # where= guard) — both fall back to bf16, where they stay
+            # visible downstream exactly as on the default wire. One signed/
+            # non-finite voxel demotes the WHOLE upload (a device array has
+            # one dtype, so a (V,S,S,S) batch can't mix wire formats).
+            if a.min() < 0 or not np.isfinite(a).all():
+                logging.warning(
+                    "uint8 wire: signed or non-finite voxels; shipping bf16"
+                )
                 return jax.device_put(a.astype(self._bf16_wire))
             m = a.max(axis=tuple(range(a.ndim - 3, a.ndim)), keepdims=True)
             q = a * np.divide(255.0, m, out=np.zeros_like(m), where=m > 0)

@@ -154,6 +154,11 @@ def _fused_qchain_tiled(
     n, hw, cin = x2.shape
     cl = layer_meta[-1][2]
     halo = sum(1 for nt, _, _ in layer_meta if nt == 9)
+    if tile_h <= 0:
+        raise ValueError(f"tile_h must be positive, got {tile_h}")
+    if halo == 0:
+        raise ValueError("tiling needs a 3x3 layer (1x1-only chains have no "
+                         "halo; use the whole-image kernel)")
     if tile_h % halo:
         raise ValueError(f"tile_h {tile_h} must be a multiple of halo {halo}")
     if h % tile_h:

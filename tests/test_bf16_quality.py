@@ -61,9 +61,10 @@ def test_input_transfer_dtype_quality_and_auto_selection():
 
     ev_f32 = VolumeEvaluator(task, eval_batch=24, input_dtype="float32")
     ev_bf16_in = VolumeEvaluator(task, eval_batch=24, input_dtype="bfloat16")
-    d_f = ev_f32.evaluate_volume(
+    r_f = ev_f32.evaluate_volume(
         variables, store.images[0], store.labels[0], jax.random.key(1)
-    )["dice"]
+    )
+    d_f = r_f["dice"]
     d_b = ev_bf16_in.evaluate_volume(
         variables, store.images[0], store.labels[0], jax.random.key(1)
     )["dice"]
@@ -75,9 +76,6 @@ def test_input_transfer_dtype_quality_and_auto_selection():
     # and near-total argmax agreement with the f32-shipped volume
     ev_u8 = VolumeEvaluator(task, eval_batch=24, input_dtype="uint8")
     r_u = ev_u8.evaluate_volume(
-        variables, store.images[0], store.labels[0], jax.random.key(1)
-    )
-    r_f = ev_f32.evaluate_volume(
         variables, store.images[0], store.labels[0], jax.random.key(1)
     )
     np.testing.assert_allclose(r_u["dice"], d_f, atol=0.01)
@@ -117,3 +115,10 @@ def test_uint8_upload_wire_format():
 
     pre = (vol * 255).astype(np.uint8)  # pre-quantized host arrays pass through
     np.testing.assert_array_equal(np.asarray(ev._upload(pre)), pre)
+
+    # NaN/inf can't ride the scaled wire either (a NaN max would zero the
+    # whole volume silently) — they fall back to bf16 and stay visible
+    bad = vol.copy(); bad[0, 0, 0] = np.nan
+    assert np.asarray(ev._upload(bad)).dtype == ml_dtypes.bfloat16
+    bad[0, 0, 0] = np.inf
+    assert np.asarray(ev._upload(bad)).dtype == ml_dtypes.bfloat16

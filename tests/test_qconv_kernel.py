@@ -120,6 +120,12 @@ def test_fused_qchain_tiled_rejects_bad_tile():
         fused_qchain(x, layers, interpret=True, tile_h=10)
     with pytest.raises(ValueError, match="multiple"):
         fused_qchain(x, layers, interpret=True, tile_h=3)
+    for bad in (0, -2):  # ZeroDivision/negative-grid guards
+        with pytest.raises(ValueError, match="positive"):
+            fused_qchain(x, layers, interpret=True, tile_h=bad)
+    only1x1 = make_random_chain(jax.random.PRNGKey(1), [(4, 4)], kernel=1)
+    with pytest.raises(ValueError, match="3x3"):
+        fused_qchain(x, only1x1, interpret=True, tile_h=4)
 
 
 def test_fused_qchain_rejects_uncalibrated():
