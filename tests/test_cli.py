@@ -68,6 +68,19 @@ def test_cli_train_eval_predict_roundtrip(tmp_path):
     seg = nifti.load(preds[0])
     assert seg.shape == (16, 16, 16)
 
+    # flag→engine plumbing of the compact uint8 wire: same checkpoint,
+    # near-total voxel agreement with the default wire's segmentation
+    # (quality bounds are pinned in test_bf16_quality.py)
+    res_u8 = run_cli(
+        "eval.py", "-m", "probunet", "-f", str(ck), "-d", str(tmp_path / "data" / "test"),
+        *common, "--eval-samples", "2", "--eval-batch", "8",
+        "--input-dtype", "uint8",
+        cwd=tmp_path,
+    )
+    assert "avg volume" in res_u8.stdout
+    seg_u8 = nifti.load(preds[0])
+    assert np.mean(seg_u8 == seg) > 0.99
+
     run_cli(
         "predict.py", "-m", "probunet", "-f", str(ck),
         "-i", str(tmp_path / "data" / "test" / "images" / "image0.nii"),
