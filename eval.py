@@ -76,6 +76,7 @@ def main() -> int:
         num_views=cfg.num_views,
         mesh=mesh,
         quantize=cfg.quantize,
+        calibration=cfg.calibration,
         input_dtype=cfg.input_dtype,
     )
     os.makedirs("predictions", exist_ok=True)

@@ -82,6 +82,9 @@ class Config:
     quantize: Optional[str] = None  # eval: None | "int8" — post-training
     # dynamic int8 inference (BN-folded convs on the MXU int8 path; ~1.7x
     # conv throughput on v5e, pmpu_tpu/models/quantized.py)
+    calibration: Optional[str] = None  # int8 scale persistence: JSON path
+    # loaded if present (skips first-volume self-calibration), written
+    # after self-calibration otherwise (pmpu_tpu/models/quantized.py)
     input_dtype: Optional[str] = None  # eval H2D wire dtype: None (auto:
     # bf16 iff --bf16), "float32", "bfloat16", "uint8" (8-bit fixed point
     # vs per-volume max — half of bf16's upload bytes; the on-device
@@ -209,6 +212,10 @@ def _add_extension_args(p: argparse.ArgumentParser):
                    choices=["int8"],
                    help="post-training dynamic int8 inference (eval/predict/"
                    "serve; ~1.7x conv throughput on the v5e MXU)")
+    g.add_argument("--calibration", dest="calibration", type=str, default=None,
+                   help="int8 activation-scale JSON: loaded if present "
+                   "(skips first-volume self-calibration), saved after "
+                   "self-calibration otherwise (with --quantize int8)")
     g.add_argument("--input-dtype", dest="input_dtype", type=str, default=None,
                    choices=["float32", "bfloat16", "uint8"],
                    help="eval H2D volume wire dtype (default: bf16 iff --bf16)"

@@ -23,6 +23,7 @@ rotation — the reference's unimplemented TODO (``mri_dataset.py:71``).
 from __future__ import annotations
 
 import logging
+import os
 from typing import Optional
 
 import jax
@@ -124,6 +125,11 @@ class VolumeEvaluator:
               2× int8 path; transposed convs / heads / fcomb stay in the
               compute dtype. No reference counterpart; beyond-parity
               device-compute win (docs/PERF.md).
+      calibration: optional JSON path for the int8 static activation
+              scales — loaded if the file exists (skipping first-volume
+              self-calibration: deterministic scales across serving
+              restarts and hosts), written after self-calibration
+              otherwise. Only meaningful with ``quantize="int8"``.
     """
 
     def __init__(
@@ -136,6 +142,7 @@ class VolumeEvaluator:
         mean_z: bool = False,
         input_dtype: Optional[str] = None,
         quantize: Optional[str] = None,
+        calibration: Optional[str] = None,
     ):
         self.task = task
         self.n_samples = 1 if mean_z else n_samples
@@ -163,6 +170,9 @@ class VolumeEvaluator:
         if quantize not in (None, "int8"):
             raise ValueError(f"quantize must be None or 'int8', got {quantize!r}")
         self.quantize = quantize
+        # int8 scale persistence: load this JSON if it exists, else write
+        # it after first-volume self-calibration (see _maybe_quantize)
+        self.calibration = calibration
         self._qvars_src = None  # identity cache: variables → quantized tree
         self._bases = None if num_views == 3 else jnp.asarray(make_view_bases(num_views))
         self._predict = jax.jit(self._predict_volume)
@@ -275,6 +285,15 @@ class VolumeEvaluator:
             self._qvars = jax.device_put(q)
             self._qvars_src = variables
             self._qvars_calibrated = False
+            if self.calibration and os.path.exists(self.calibration):
+                import json
+
+                with open(self.calibration) as f:
+                    qz.import_scales(
+                        self._qvars, json.load(f),
+                        self.task.net.num_filters, self.task.is_probabilistic,
+                    )
+                self._qvars_calibrated = True
         if sample_vol is not None and not self._qvars_calibrated:
             cd = getattr(self.task.net, "dtype", None) or jnp.float32
             slabs = normalize_slabs(view_slabs(jnp.asarray(
@@ -290,6 +309,18 @@ class VolumeEvaluator:
                     self.task.n_classes, dtype=cd,
                 )
             self._qvars_calibrated = True
+            if self.calibration and not os.path.exists(self.calibration):
+                import json
+
+                with open(self.calibration, "w") as f:
+                    json.dump(
+                        qz.export_scales(
+                            self._qvars, self.task.net.num_filters,
+                            self.task.is_probabilistic,
+                        ),
+                        f,
+                    )
+                logging.info("saved int8 calibration scales to %s", self.calibration)
         return self._qvars
 
     def _model_logits(self, variables, x, key, per_sample: bool = False):

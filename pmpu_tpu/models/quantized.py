@@ -229,6 +229,62 @@ def calibrate_unet(q, x, num_filters, n_classes, dtype=jnp.bfloat16,
     return q
 
 
+def _calibrated_layers(q, num_filters, probabilistic: bool):
+    """Every layer dict carrying a static ``xs`` scale, in the exact walk
+    order the calibrators bake them (forward conv order + prior encoder)."""
+    if probabilistic:
+        return list(_walk_unet_layers(q["unet"], list(num_filters))) + list(
+            q["prior_enc"]
+        )
+    return list(_walk_unet_layers(q, list(num_filters)))
+
+
+def export_scales(q, num_filters, probabilistic: bool) -> dict:
+    """Calibrated static input scales → a JSON-able dict (one float per
+    quantized conv in forward order; fcomb entries when that path is
+    quantized). Inverse of :func:`import_scales` — persists first-volume
+    self-calibration so later processes (serving restarts, other hosts)
+    reuse the exact same scales instead of recalibrating."""
+    layers = _calibrated_layers(q, num_filters, probabilistic)
+    if any(l.get("xs") is None for l in layers):
+        raise ValueError("tree is not calibrated (run calibrate_* first)")
+    d = {"version": 1, "xs": [float(np.asarray(l["xs"])) for l in layers]}
+    if probabilistic and "fcomb_q" in q:
+        fq = q["fcomb_q"]
+        if fq.get("k0_feat_xs") is not None:
+            d["fcomb_xs"] = [float(np.asarray(fq["k0_feat_xs"]))] + [
+                float(np.asarray(l["xs"])) for l in fq["layers"]
+            ]
+    return d
+
+
+def import_scales(q, d: dict, num_filters, probabilistic: bool):
+    """Bake previously exported static scales IN PLACE (inverse of
+    :func:`export_scales`). The scale count must match the architecture —
+    a mismatch means the file belongs to a different model."""
+    layers = _calibrated_layers(q, num_filters, probabilistic)
+    xs = d["xs"]
+    if len(xs) != len(layers):
+        raise ValueError(
+            f"calibration file has {len(xs)} scales; this architecture "
+            f"has {len(layers)} quantized convs"
+        )
+    for layer, v in zip(layers, xs):
+        layer["xs"] = jnp.asarray(v, jnp.float32)
+    if probabilistic and "fcomb_q" in q and "fcomb_xs" in d:
+        fq = q["fcomb_q"]
+        fx = d["fcomb_xs"]
+        if len(fx) != 1 + len(fq["layers"]):
+            raise ValueError(
+                f"calibration file has {len(fx)} fcomb scales; expected "
+                f"{1 + len(fq['layers'])}"
+            )
+        fq["k0_feat_xs"] = jnp.asarray(fx[0], jnp.float32)
+        for layer, v in zip(fq["layers"], fx[1:]):
+            layer["xs"] = jnp.asarray(v, jnp.float32)
+    return q
+
+
 def calibrate_probunet(q, x, net, dtype=jnp.bfloat16, margin: float = 1.25):
     c: list = []
     feats, loc, _scale = probunet_features_prior_int8(q, x, net, dtype=dtype, collect=c)

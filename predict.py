@@ -119,6 +119,7 @@ def main() -> int:
         eval_batch=cfg.eval_batch,
         num_views=cfg.num_views,
         quantize=cfg.quantize,
+        calibration=cfg.calibration,
         input_dtype=cfg.input_dtype,
     )
     if names is not None:  # batch mode: pipelined serving stream

@@ -57,6 +57,9 @@ def get_args():
                    help="bfloat16 compute + compact bf16 volume uploads")
     p.add_argument("--quantize", type=str, default=None, choices=["int8"],
                    help="post-training dynamic int8 inference")
+    p.add_argument("--calibration", type=str, default=None,
+                   help="int8 activation-scale JSON (load if present, save "
+                   "after first-volume self-calibration otherwise)")
     p.add_argument("--input-dtype", dest="input_dtype", type=str, default=None,
                    choices=["float32", "bfloat16", "uint8"],
                    help="H2D volume wire dtype (default: bf16 iff --bf16); "
@@ -135,6 +138,7 @@ def main() -> int:
         eval_batch=cfg.eval_batch,
         num_views=cfg.num_views,
         quantize=args.quantize,
+        calibration=args.calibration,
         input_dtype=args.input_dtype,
     )
     os.makedirs(args.out, exist_ok=True)

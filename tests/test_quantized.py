@@ -120,6 +120,97 @@ def test_int8_static_calibration_and_second_volume():
     assert float(np.mean(r1q["argmax"] == r1f["argmax"])) > 0.99
 
 
+def test_int8_scale_export_import_roundtrip():
+    """export_scales/import_scales: a fresh quantized tree with imported
+    scales reproduces the calibrated tree's forward bit-for-bit; a scale
+    count mismatch (different architecture) raises."""
+    task = make_task("unet", n_classes=3, num_filters=(8, 16))
+    variables = _perturbed_variables(task)
+    x = jnp.asarray(RNG.random((4, 16, 16, 1)), jnp.float32)
+
+    q1 = qz.quantize_unet(variables, (8, 16))
+    qz.calibrate_unet(q1, x, (8, 16), 3, dtype=jnp.float32)
+    d = qz.export_scales(q1, (8, 16), probabilistic=False)
+    assert len(d["xs"]) == len(list(qz._walk_unet_layers(q1, [8, 16])))
+
+    q2 = qz.quantize_unet(variables, (8, 16))
+    assert any(l.get("xs") is None for l in qz._walk_unet_layers(q2, [8, 16]))
+    qz.import_scales(q2, d, (8, 16), probabilistic=False)
+    y1 = qz.unet_int8(q1, x, (8, 16), 3, dtype=jnp.float32)
+    y2 = qz.unet_int8(q2, x, (8, 16), 3, dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+    with pytest.raises(ValueError, match="scales"):
+        qz.import_scales(q2, {"xs": d["xs"][:-1]}, (8, 16), probabilistic=False)
+
+    # uncalibrated trees refuse to export
+    with pytest.raises(ValueError, match="not calibrated"):
+        qz.export_scales(qz.quantize_unet(variables, (8, 16)), (8, 16), False)
+
+
+def test_int8_scale_roundtrip_probunet_with_fcomb():
+    """Probabilistic export/import covers the prior-encoder and fcomb
+    branches (k0_feat_xs + per-layer fcomb scales)."""
+    task = make_task("probunet", num_filters=(8, 16))
+    variables = _perturbed_variables(task)
+    x = jnp.asarray(RNG.random((4, 16, 16, 1)), jnp.float32)
+
+    q1 = qz.quantize_probunet(variables, task.net, quantize_fcomb=True)
+    qz.calibrate_probunet(q1, x, task.net, dtype=jnp.float32)
+    d = qz.export_scales(q1, task.net.num_filters, probabilistic=True)
+    assert "fcomb_xs" in d and len(d["fcomb_xs"]) >= 2
+
+    q2 = qz.quantize_probunet(variables, task.net, quantize_fcomb=True)
+    qz.import_scales(q2, d, task.net.num_filters, probabilistic=True)
+    f1, loc1, _ = qz.probunet_features_prior_int8(q1, x, task.net, dtype=jnp.float32)
+    f2, loc2, _ = qz.probunet_features_prior_int8(q2, x, task.net, dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+    np.testing.assert_array_equal(np.asarray(loc1), np.asarray(loc2))
+    y1 = qz.fcomb_decode_samples_int8(q1["fcomb_q"], f1, loc1[None], dtype=jnp.float32)
+    y2 = qz.fcomb_decode_samples_int8(q2["fcomb_q"], f2, loc2[None], dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+    with pytest.raises(ValueError, match="fcomb"):
+        qz.import_scales(
+            q2, {**d, "fcomb_xs": d["fcomb_xs"][:-1]},
+            task.net.num_filters, probabilistic=True,
+        )
+
+
+def test_int8_calibration_file_roundtrip_engine(tmp_path):
+    """--calibration semantics: the first evaluator self-calibrates and
+    writes the JSON; a fresh evaluator loads it and reproduces the fused
+    volume bit-for-bit; tampered scales change the output (proof the file
+    is actually consumed, not recalibrated over)."""
+    import json
+
+    store = make_synthetic_store(n=1, s=24, seed=4)
+    cfg = Config(
+        net="unet", n_classes=3, epochs=1, batchsize=8, lr=0.05,
+        num_filters=(8, 16), save_cp=False, seed=0,
+    )
+    state, task, _ = train_net(cfg, store)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    path = str(tmp_path / "scales.json")
+
+    ev_a = VolumeEvaluator(task, eval_batch=24, quantize="int8", calibration=path)
+    r_a = ev_a.evaluate_volume(variables, store.images[0], store.labels[0], jax.random.key(1))
+    with open(path) as f:
+        saved = json.load(f)
+    assert saved["xs"] and all(v > 0 for v in saved["xs"])
+
+    ev_b = VolumeEvaluator(task, eval_batch=24, quantize="int8", calibration=path)
+    r_b = ev_b.evaluate_volume(variables, store.images[0], store.labels[0], jax.random.key(1))
+    np.testing.assert_array_equal(r_a["argmax"], r_b["argmax"])
+    np.testing.assert_array_equal(np.asarray(r_a["fused"]), np.asarray(r_b["fused"]))
+
+    with open(path, "w") as f:  # tampered scales must reach the program
+        json.dump({**saved, "xs": [v * 40.0 for v in saved["xs"]]}, f)
+    ev_c = VolumeEvaluator(task, eval_batch=24, quantize="int8", calibration=path)
+    r_c = ev_c.evaluate_volume(variables, store.images[0], store.labels[0], jax.random.key(1))
+    assert not np.array_equal(np.asarray(r_c["fused"]), np.asarray(r_a["fused"]))
+
+
 @pytest.mark.slow
 def test_int8_probunet_quality_close_to_f32():
     """Probunet int8 (backbone + prior + fcomb matmuls): prior-MEAN decode
