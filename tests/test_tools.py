@@ -77,3 +77,21 @@ def test_nifti_info(tmp_path):
     assert res.returncode == 0, res.stderr
     assert "(4, 5, 6)" in res.stdout
     assert "float32" in res.stdout
+    assert "orientation : image-left=L image-right=R" in res.stdout
+
+
+def test_nifti_info_figure(tmp_path):
+    """--fig writes the reference's 4-panel quick-look
+    (``Utils/nifti.py:88-212``); NaN voxels and 4-D inputs are handled."""
+    p = tmp_path / "v.nii"
+    vol = np.random.default_rng(0).random((6, 5, 4)).astype(np.float32)
+    vol[0, 0, 0] = np.nan  # displays as 0 (Utils/nifti.py:40)
+    nifti.save(p, vol)
+    out = tmp_path / "fig.png"
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "nifti_info.py"), str(p),
+         "--fig", str(out)],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert res.returncode == 0, res.stderr
+    assert out.exists() and out.stat().st_size > 1000
