@@ -50,6 +50,8 @@ class NiftiHeader:
     qform_code: int = 0
     sform_code: int = 1
     srow: np.ndarray = field(default_factory=lambda: np.eye(4, dtype=np.float32)[:3])
+    quatern: tuple = (0.0, 0.0, 0.0)  # (b, c, d); a derived
+    qoffset: tuple = (0.0, 0.0, 0.0)
     descrip: bytes = b"pmpu_tpu"
     magic: bytes = b"n+1\x00"
     endian: str = "<"
@@ -61,10 +63,32 @@ class NiftiHeader:
 
     @property
     def affine(self) -> np.ndarray:
+        """Voxel→world transform: sform when set, else the quaternion
+        qform, else identity (the NIfTI-1 'method 3 > 2 > 1' order)."""
         a = np.eye(4, dtype=np.float64)
         if self.sform_code > 0:
             a[:3] = self.srow
+        elif self.qform_code > 0:
+            a = self.qform_affine
         return a
+
+    @property
+    def qform_affine(self) -> np.ndarray:
+        """Quaternion qform → 4×4 affine (NIfTI-1 'method 2': rotation
+        columns scaled by pixdim, qfac = pixdim[0] flipping the third)."""
+        b, c, d = (float(x) for x in self.quatern)
+        aa = max(0.0, 1.0 - b * b - c * c - d * d) ** 0.5
+        r = np.array([
+            [aa * aa + b * b - c * c - d * d, 2 * (b * c - aa * d), 2 * (b * d + aa * c)],
+            [2 * (b * c + aa * d), aa * aa + c * c - b * b - d * d, 2 * (c * d - aa * b)],
+            [2 * (b * d - aa * c), 2 * (c * d + aa * b), aa * aa + d * d - b * b - c * c],
+        ])
+        qfac = -1.0 if self.pixdim[0] < 0 else 1.0
+        sp = [self.pixdim[1], self.pixdim[2], qfac * self.pixdim[3]]
+        m = np.eye(4, dtype=np.float64)
+        m[:3, :3] = r * np.asarray(sp)[None, :]
+        m[:3, 3] = self.qoffset
+        return m
 
 
 def is_nifti_name(name) -> bool:
@@ -106,6 +130,8 @@ def read_header(path) -> NiftiHeader:
     (scl_inter,) = unpack("f", 116, 4)
     (qform_code,) = unpack("h", 252, 2)
     (sform_code,) = unpack("h", 254, 2)
+    quatern = unpack("3f", 256, 12)
+    qoffset = unpack("3f", 268, 12)
     srow = np.array(
         [unpack("4f", 280, 16), unpack("4f", 296, 16), unpack("4f", 312, 16)],
         dtype=np.float32,
@@ -124,6 +150,8 @@ def read_header(path) -> NiftiHeader:
         scl_inter=float(scl_inter),
         qform_code=int(qform_code),
         sform_code=int(sform_code),
+        quatern=tuple(float(q) for q in quatern),
+        qoffset=tuple(float(q) for q in qoffset),
         srow=srow,
         descrip=raw[148:228].rstrip(b"\x00"),
         magic=magic,

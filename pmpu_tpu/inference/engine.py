@@ -173,6 +173,7 @@ class VolumeEvaluator:
         # int8 scale persistence: load this JSON if it exists, else write
         # it after first-volume self-calibration (see _maybe_quantize)
         self.calibration = calibration
+        self._cal_rewrite = False  # set when an unreadable file needs replacing
         self._qvars_src = None  # identity cache: variables → quantized tree
         self._bases = None if num_views == 3 else jnp.asarray(make_view_bases(num_views))
         self._predict = jax.jit(self._predict_volume)
@@ -288,12 +289,25 @@ class VolumeEvaluator:
             if self.calibration and os.path.exists(self.calibration):
                 import json
 
-                with open(self.calibration) as f:
+                try:
+                    with open(self.calibration) as f:
+                        d = json.load(f)
+                except (json.JSONDecodeError, OSError) as e:
+                    # e.g. a crash mid-write of an older (non-atomic)
+                    # writer: recalibrate and atomically replace below
+                    logging.warning(
+                        "calibration file %s unreadable (%s); recalibrating",
+                        self.calibration, e,
+                    )
+                    self._cal_rewrite = True
+                else:
+                    # architecture mismatch still raises (fail fast: the
+                    # file belongs to a different model)
                     qz.import_scales(
-                        self._qvars, json.load(f),
+                        self._qvars, d,
                         self.task.net.num_filters, self.task.is_probabilistic,
                     )
-                self._qvars_calibrated = True
+                    self._qvars_calibrated = True
         if sample_vol is not None and not self._qvars_calibrated:
             cd = getattr(self.task.net, "dtype", None) or jnp.float32
             slabs = normalize_slabs(view_slabs(jnp.asarray(
@@ -309,10 +323,17 @@ class VolumeEvaluator:
                     self.task.n_classes, dtype=cd,
                 )
             self._qvars_calibrated = True
-            if self.calibration and not os.path.exists(self.calibration):
+            if self.calibration and (
+                getattr(self, "_cal_rewrite", False)
+                or not os.path.exists(self.calibration)
+            ):
                 import json
 
-                with open(self.calibration, "w") as f:
+                # atomic write (tmp + rename, as train/checkpoint.py): a
+                # kill mid-dump or a concurrent reader must never see a
+                # truncated file — the load branch would be wedged forever
+                tmp = self.calibration + ".tmp"
+                with open(tmp, "w") as f:
                     json.dump(
                         qz.export_scales(
                             self._qvars, self.task.net.num_filters,
@@ -320,6 +341,8 @@ class VolumeEvaluator:
                         ),
                         f,
                     )
+                os.replace(tmp, self.calibration)
+                self._cal_rewrite = False
                 logging.info("saved int8 calibration scales to %s", self.calibration)
         return self._qvars
 

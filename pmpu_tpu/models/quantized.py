@@ -264,21 +264,23 @@ def import_scales(q, d: dict, num_filters, probabilistic: bool):
     a mismatch means the file belongs to a different model."""
     layers = _calibrated_layers(q, num_filters, probabilistic)
     xs = d["xs"]
+    # validate EVERY count before touching the tree: a partial import on
+    # error would leave mixed old/new scales behind a caught exception
     if len(xs) != len(layers):
         raise ValueError(
             f"calibration file has {len(xs)} scales; this architecture "
             f"has {len(layers)} quantized convs"
         )
+    fq = q["fcomb_q"] if probabilistic and "fcomb_q" in q and "fcomb_xs" in d else None
+    if fq is not None and len(d["fcomb_xs"]) != 1 + len(fq["layers"]):
+        raise ValueError(
+            f"calibration file has {len(d['fcomb_xs'])} fcomb scales; "
+            f"expected {1 + len(fq['layers'])}"
+        )
     for layer, v in zip(layers, xs):
         layer["xs"] = jnp.asarray(v, jnp.float32)
-    if probabilistic and "fcomb_q" in q and "fcomb_xs" in d:
-        fq = q["fcomb_q"]
+    if fq is not None:
         fx = d["fcomb_xs"]
-        if len(fx) != 1 + len(fq["layers"]):
-            raise ValueError(
-                f"calibration file has {len(fx)} fcomb scales; expected "
-                f"{1 + len(fq['layers'])}"
-            )
         fq["k0_feat_xs"] = jnp.asarray(fx[0], jnp.float32)
         for layer, v in zip(fq["layers"], fx[1:]):
             layer["xs"] = jnp.asarray(v, jnp.float32)
@@ -288,10 +290,7 @@ def import_scales(q, d: dict, num_filters, probabilistic: bool):
 def calibrate_probunet(q, x, net, dtype=jnp.bfloat16, margin: float = 1.25):
     c: list = []
     feats, loc, _scale = probunet_features_prior_int8(q, x, net, dtype=dtype, collect=c)
-    layers = list(_walk_unet_layers(q["unet"], list(net.num_filters))) + list(
-        q["prior_enc"]
-    )
-    _bake_scales(layers, c, margin)
+    _bake_scales(_calibrated_layers(q, net.num_filters, True), c, margin)
     if "fcomb_q" in q:  # calibrate the fcomb matmuls with prior-mean draws
         fc: list = []
         fcomb_decode_samples_int8(q["fcomb_q"], feats, loc[None], dtype=dtype,

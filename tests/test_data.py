@@ -56,6 +56,29 @@ def test_nifti_roundtrip(tmp_path, suffix, dtype):
     np.testing.assert_array_equal(hdr.affine, np.eye(4))
 
 
+def test_nifti_qform_quaternion_affine(tmp_path):
+    """Quaternion qform decode (NIfTI-1 'method 2'): a qform-only file
+    (sform_code=0) must reconstruct the rotation from quatern_b/c/d and
+    the affine property must fall back to it (method 3 > 2 > 1)."""
+    import struct
+
+    p = tmp_path / "q.nii"
+    nifti.save(p, np.zeros((4, 4, 4), np.float32))
+    raw = bytearray(p.read_bytes())
+    struct.pack_into("<h", raw, 252, 1)            # qform_code = 1
+    struct.pack_into("<h", raw, 254, 0)            # sform_code = 0
+    struct.pack_into("<3f", raw, 256, 0.0, 0.0, 1.0)  # b,c,d: 180° about z
+    struct.pack_into("<3f", raw, 268, 7.0, 8.0, 9.0)  # qoffset
+    p.write_bytes(bytes(raw))
+
+    hdr = nifti.read_header(p)
+    qa = hdr.qform_affine
+    # R(b=c=0,d=1) = diag(-1,-1,1); pixdim 1 → columns unscaled
+    np.testing.assert_allclose(qa[:3, :3], np.diag([-1.0, -1.0, 1.0]), atol=1e-6)
+    np.testing.assert_allclose(qa[:3, 3], [7.0, 8.0, 9.0])
+    np.testing.assert_allclose(hdr.affine, qa)  # sform absent → qform wins
+
+
 def test_nifti_scl_scaling(tmp_path):
     # get_fdata applies scl_slope * x + scl_inter
     data = np.arange(8, dtype=np.int16).reshape(2, 2, 2)

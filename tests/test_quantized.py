@@ -176,6 +176,40 @@ def test_int8_scale_roundtrip_probunet_with_fcomb():
             task.net.num_filters, probabilistic=True,
         )
 
+    # a failed import must not leave a half-imported (torn) tree: counts
+    # are validated before any mutation
+    q3 = qz.quantize_probunet(variables, task.net, quantize_fcomb=True)
+    with pytest.raises(ValueError, match="fcomb"):
+        qz.import_scales(
+            q3, {**d, "fcomb_xs": d["fcomb_xs"][:-1]},
+            task.net.num_filters, probabilistic=True,
+        )
+    assert all(
+        l.get("xs") is None
+        for l in qz._calibrated_layers(q3, task.net.num_filters, True)
+    )
+
+
+def test_int8_calibration_corrupt_file_recovery(tmp_path):
+    """An unreadable calibration file (crash mid-write of an old
+    non-atomic writer) must not brick the engine: it recalibrates and
+    atomically replaces the file with valid JSON."""
+    import json
+
+    store = make_synthetic_store(n=1, s=24, seed=4)
+    task = make_task("unet", n_classes=3, num_filters=(8, 16))
+    variables = _perturbed_variables(task, s=24)
+    path = tmp_path / "scales.json"
+    path.write_text('{"version": 1, "xs": [0.1,')  # truncated JSON
+
+    ev = VolumeEvaluator(task, eval_batch=24, quantize="int8",
+                         calibration=str(path))
+    r = ev.evaluate_volume(variables, store.images[0], store.labels[0],
+                           jax.random.key(1))
+    assert np.isfinite(np.asarray(r["fused"])).all()
+    saved = json.loads(path.read_text())  # repaired, parseable
+    assert saved["xs"] and all(v > 0 for v in saved["xs"])
+
 
 def test_int8_calibration_file_roundtrip_engine(tmp_path):
     """--calibration semantics: the first evaluator self-calibrates and

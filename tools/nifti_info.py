@@ -9,9 +9,8 @@ axial mid-slices with pixdim aspect ratios and mid-point crosshairs, and
 a text panel with dims / spacing / volumes / dtype / range and the
 rounded sform+qform matrices. NaN voxels display as 0 and 4-D files show
 their first volume, as in the reference (``Utils/nifti.py:30-40``).
-Differences: non-interactive (writes a PNG instead of plt.show()), and
-the orientation/qform decode uses the sform rows our codec parses (the
-reference consults nibabel's reconstructed qform as a fallback).
+Deliberate divergence (docs/DESIGN.md): non-interactive — writes a PNG
+instead of opening a plt.show() window.
 
     python tools/nifti_info.py vol.nii [--fig out.png]
 """
@@ -33,11 +32,13 @@ _DT_NAMES = {2: "uint8", 4: "int16", 8: "int32", 16: "float32", 64: "float64",
 
 def _orientation(hdr) -> tuple[str, str]:
     """First-axis handedness decode (reference ``Utils/nifti.py:66-84``):
-    negative X scaling → left side of the image is the subject's Right."""
-    x = float(hdr.affine[0, 0])
-    if x < 0:
+    negative X scaling in whichever of qform/sform is set → left side of
+    the image is the subject's Right. Neither set → unknown."""
+    sfx = float(hdr.srow[0, 0]) if hdr.sform_code > 0 else 0.0
+    qfx = float(hdr.qform_affine[0, 0]) if hdr.qform_code > 0 else 0.0
+    if (qfx < 0 and sfx <= 0) or (sfx < 0 and qfx <= 0):
         return "R", "L"
-    if x > 0:
+    if (qfx > 0 and sfx >= 0) or (sfx > 0 and qfx >= 0):
         return "L", "R"
     return "?", "?"
 
@@ -58,6 +59,10 @@ def _info_text(hdr, data) -> str:
         np.array2string(mat, precision=2, suppress_small=True),
         "",
         f"qform code: {hdr.qform_code}",
+        np.array2string(
+            np.round(np.asarray(hdr.qform_affine, np.float64), 2),
+            precision=2, suppress_small=True,
+        ),
     ]
     return "\n".join(lines)
 
@@ -94,7 +99,7 @@ def _figure(path, hdr, out):
         ax.hlines(hy, 0, hxmax, colors="red", linestyles="dotted", linewidth=0.5)
         ax.vlines(vx, 0, vymax, colors="red", linestyles="dotted", linewidth=0.5)
         ax.axis("off")
-        if i == 0:
+        if i == 2:  # label rides the AXIAL panel (Utils/nifti.py:143-145)
             ax.text(-10, my + 5, ol, fontsize=9, color="red", clip_on=False)
 
     ax4 = fig.add_subplot(2, 2, 4)
