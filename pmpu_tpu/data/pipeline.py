@@ -47,13 +47,28 @@ class PrefetchPipeline:
     the next batch is being gathered and transferred in the background.
     """
 
-    def __init__(self, store, depth: int = 2, sharding=None):
+    def __init__(self, store, depth: int = 2, sharding=None,
+                 image_dtype=np.float32, mask_dtype=np.int32):
+        """``image_dtype``/``mask_dtype``: the H2D wire dtypes. The
+        streamed batch crosses the link EVERY step (unlike the
+        device-resident path's one-time upload), so compact wires matter:
+        bf16 images are bit-identical under bf16 compute (the first conv
+        casts either way) and uint8 masks always are (class ids < 256;
+        the consumer upcasts on device — ``sampler.sample_rows``)."""
         self.images = store.images
         self.labels = store.labels
         self.depth = depth
         self.sharding = sharding
+        self.image_dtype = np.dtype(image_dtype)
+        self.mask_dtype = np.dtype(mask_dtype)
 
     def _put(self, arrays):
+        img, msk = arrays
+        if img.dtype != self.image_dtype:
+            img = img.astype(self.image_dtype)
+        if msk.dtype != self.mask_dtype:
+            msk = msk.astype(self.mask_dtype)
+        arrays = (img, msk)
         if self.sharding is not None:
             return tuple(jax.device_put(a, self.sharding) for a in arrays)
         return tuple(jax.device_put(a) for a in arrays)

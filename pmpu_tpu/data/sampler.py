@@ -98,9 +98,15 @@ def sample_rows(images: jax.Array, labels: jax.Array, triples: jax.Array):
     pre-gathered, pre-normalized (B,S,S,1) f32 slice batch and ``labels``
     its (B,S,S,1) i32 masks; ``triples[:, 0]`` are row indices into the
     batch, so gradient-accumulation microbatching slices rows exactly like
-    the on-device samplers slice (scan, view, slice) triples."""
+    the on-device samplers slice (scan, view, slice) triples. Compact wire
+    dtypes (bf16 images / uint8 masks, ``PrefetchPipeline``) upcast here
+    ON DEVICE — bit-identical to the wide wire when compute is bf16 (the
+    first conv casts either way), always for masks."""
     rows = triples[:, 0]
-    return images[rows], labels[rows]
+    return (
+        images[rows].astype(jnp.float32),
+        labels[rows].astype(jnp.int32),
+    )
 
 
 def make_oblique_sampler(bases):

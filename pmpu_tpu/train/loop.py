@@ -274,9 +274,18 @@ def train_net(cfg: Config, store: VolumeStore, interrupt_flag=None):
 
     stream_pipe = None
     if cfg.stream and cfg.num_views == 3:
+        import ml_dtypes
+
         from pmpu_tpu.data.pipeline import PrefetchPipeline
 
-        stream_pipe = PrefetchPipeline(store)
+        # compact per-step wire: bf16 images are bit-identical under bf16
+        # compute (first conv casts either way; f32 compute keeps the f32
+        # wire for reference-parity numerics), uint8 masks always are
+        stream_pipe = PrefetchPipeline(
+            store,
+            image_dtype=ml_dtypes.bfloat16 if cfg.bf16 else np.float32,
+            mask_dtype=np.uint8 if task.n_classes < 256 else np.int32,
+        )
         log.info("streaming data path: host gather + double-buffered uploads")
     elif cfg.stream:
         log.warning("--stream requires the 3 standard views; using HBM-resident oblique path")

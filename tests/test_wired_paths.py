@@ -41,6 +41,47 @@ def test_stream_training_matches_device_resident(tmp_path):
     np.testing.assert_allclose(hist_a["train_loss"], hist_b["train_loss"], rtol=1e-5)
 
 
+def test_stream_compact_wire_matches_device_resident_bf16(tmp_path):
+    """Under bf16 compute the stream ships bf16 images + uint8 masks
+    (half/quarter the per-step H2D bytes). Bit-identical losses to the
+    device-resident bf16 path: the first conv casts to bf16 either way
+    and masks upcast on device (sampler.sample_rows)."""
+    store = _store(tmp_path)
+    base = dict(net="unet", num_filters=(4, 8), epochs=1, batchsize=2, seed=7,
+                save_cp=False, val=10.0, bf16=True)
+    _, _, hist_a = train_net(Config(**base, stream=False), store)
+    _, _, hist_b = train_net(Config(**base, stream=True), store)
+    np.testing.assert_array_equal(hist_a["train_loss"], hist_b["train_loss"])
+
+
+def test_prefetch_pipeline_compact_dtypes():
+    """The compact wire dtypes actually cross the link (device arrays land
+    as bf16/uint8), and values match the f32 wire after the on-device
+    upcast."""
+    import ml_dtypes
+
+    from pmpu_tpu.data.pipeline import PrefetchPipeline
+    from pmpu_tpu.data.sampler import sample_rows
+    from tests.test_train import make_synthetic_store
+
+    store = make_synthetic_store(n=2, s=8, seed=0)
+    triples = np.array([[0, 0, 3], [1, 2, 5]], np.int32)
+    wide = next(iter(PrefetchPipeline(store, depth=1).iterate([triples])))
+    compact = next(iter(PrefetchPipeline(
+        store, depth=1, image_dtype=ml_dtypes.bfloat16, mask_dtype=np.uint8,
+    ).iterate([triples])))
+    assert compact[0].dtype == jnp.bfloat16 and compact[1].dtype == jnp.uint8
+
+    rows = np.array([[0, 0, 0], [1, 1, 1]], np.int32)
+    iw, mw = sample_rows(*wide, jnp.asarray(rows))
+    ic, mc = sample_rows(*compact, jnp.asarray(rows))
+    assert iw.dtype == ic.dtype == jnp.float32
+    assert mw.dtype == mc.dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(mw), np.asarray(mc))
+    np.testing.assert_allclose(
+        np.asarray(iw), np.asarray(ic), atol=0.01)  # bf16 rounding only
+
+
 def test_batched_store_eval_matches_sequential_report():
     """evaluate_store_batched == evaluate_store for the deterministic model
     (identical dice tables), including the repeat-padded final group."""
