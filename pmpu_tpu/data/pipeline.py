@@ -18,13 +18,16 @@ import jax
 import numpy as np
 
 
-def gather_host_batch(images: np.ndarray, labels: np.ndarray, triples: np.ndarray):
+def gather_host_batch(images: np.ndarray, labels: np.ndarray, triples: np.ndarray,
+                      image_dtype=np.float32, mask_dtype=np.int32):
     """Numpy reference gather+normalize (bit-parity with the on-device
-    sampler; also the oracle in tests)."""
+    sampler; also the oracle in tests). Compact wire dtypes are written
+    directly into the output buffers (numpy casts on row assignment) —
+    no second whole-batch materialization in the producer hot path."""
     b = triples.shape[0]
     s = images.shape[-1]
-    img_out = np.empty((b, s, s, 1), np.float32)
-    msk_out = np.empty((b, s, s, 1), np.int32)
+    img_out = np.empty((b, s, s, 1), image_dtype)
+    msk_out = np.empty((b, s, s, 1), mask_dtype)
     for r, (scan, view, sl) in enumerate(triples):
         vol = images[scan]
         lab = labels[scan]
@@ -63,12 +66,6 @@ class PrefetchPipeline:
         self.mask_dtype = np.dtype(mask_dtype)
 
     def _put(self, arrays):
-        img, msk = arrays
-        if img.dtype != self.image_dtype:
-            img = img.astype(self.image_dtype)
-        if msk.dtype != self.mask_dtype:
-            msk = msk.astype(self.mask_dtype)
-        arrays = (img, msk)
         if self.sharding is not None:
             return tuple(jax.device_put(a, self.sharding) for a in arrays)
         return tuple(jax.device_put(a) for a in arrays)
@@ -82,7 +79,10 @@ class PrefetchPipeline:
             # stop sentinel would silently truncate the epoch
             try:
                 for triples in triple_batches:
-                    batch = gather_host_batch(self.images, self.labels, np.asarray(triples))
+                    batch = gather_host_batch(
+                        self.images, self.labels, np.asarray(triples),
+                        image_dtype=self.image_dtype, mask_dtype=self.mask_dtype,
+                    )
                     q.put(self._put(batch))
             except BaseException as e:  # noqa: BLE001 — re-raised in consumer
                 q.put(e)

@@ -279,12 +279,18 @@ def train_net(cfg: Config, store: VolumeStore, interrupt_flag=None):
         from pmpu_tpu.data.pipeline import PrefetchPipeline
 
         # compact per-step wire: bf16 images are bit-identical under bf16
-        # compute (first conv casts either way; f32 compute keeps the f32
-        # wire for reference-parity numerics), uint8 masks always are
+        # compute ONLY when nothing runs between the wire and the first
+        # conv's cast — augmentation does (f32 elastic warp/jitter,
+        # steps.py), so --augment keeps the f32 wire. f32 compute keeps it
+        # too (reference-parity numerics). uint8 masks are gated on the
+        # ACTUAL label range (n_classes is a flag, not a bound: binary BCE
+        # runs use raw label values as targets), so they are always
+        # bit-identical after the on-device upcast.
+        compact_img = cfg.bf16 and not cfg.augment
         stream_pipe = PrefetchPipeline(
             store,
-            image_dtype=ml_dtypes.bfloat16 if cfg.bf16 else np.float32,
-            mask_dtype=np.uint8 if task.n_classes < 256 else np.int32,
+            image_dtype=ml_dtypes.bfloat16 if compact_img else np.float32,
+            mask_dtype=np.uint8 if store.labels.max() < 256 else np.int32,
         )
         log.info("streaming data path: host gather + double-buffered uploads")
     elif cfg.stream:

@@ -54,6 +54,18 @@ def test_stream_compact_wire_matches_device_resident_bf16(tmp_path):
     np.testing.assert_array_equal(hist_a["train_loss"], hist_b["train_loss"])
 
 
+def test_stream_with_augment_stays_bit_identical(tmp_path):
+    """--augment runs an f32 elastic warp BETWEEN the wire and the first
+    conv's bf16 cast, so the compact bf16 image wire would break
+    bit-identity there — the loop must keep the f32 wire under augment."""
+    store = _store(tmp_path)
+    base = dict(net="unet", num_filters=(4, 8), epochs=1, batchsize=2, seed=7,
+                save_cp=False, val=10.0, bf16=True, augment=True)
+    _, _, hist_a = train_net(Config(**base, stream=False), store)
+    _, _, hist_b = train_net(Config(**base, stream=True), store)
+    np.testing.assert_array_equal(hist_a["train_loss"], hist_b["train_loss"])
+
+
 def test_prefetch_pipeline_compact_dtypes():
     """The compact wire dtypes actually cross the link (device arrays land
     as bf16/uint8), and values match the f32 wire after the on-device
