@@ -318,6 +318,8 @@ def bench_infer() -> dict:
         "device": jax.devices()[0].device_kind,
         "bf16": BF16,
         "eval_batch": EVAL_BATCH,
+        "quantize": QUANTIZE,
+        "input_dtype": INPUT_DTYPE or ("bfloat16" if BF16 else "float32"),
     }
 
 
