@@ -69,7 +69,11 @@ MODE = os.environ.get("BENCH_MODE", "infer")  # infer | train
 if MODE not in ("infer", "train"):
     sys.exit(f"bench.py: unknown BENCH_MODE={MODE!r} (expected 'infer' or 'train')")
 QUANTIZE = os.environ.get("BENCH_QUANTIZE") or None  # int8 | unset
-INPUT_DTYPE = os.environ.get("BENCH_INPUT_DTYPE") or None  # wire dtype | auto
+# uint8 volume uploads by default: measured-optimal on the headline
+# single-volume metric in every interleaved pairing (docs/PERF.md
+# 3-config A/B; quality validated full-width, Dice 1.000/1.000 vs bf16),
+# device compute identical. BENCH_INPUT_DTYPE overrides.
+INPUT_DTYPE = os.environ.get("BENCH_INPUT_DTYPE") or "uint8"
 SKIP_TRAIN = os.environ.get("BENCH_SKIP_TRAIN", "0") == "1"
 FILTERS = tuple(
     int(x) for x in os.environ.get("BENCH_FILTERS", "64,128,256,512,1024").split(",")
