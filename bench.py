@@ -154,6 +154,12 @@ def bench_train() -> dict:
 
     sel = np.arange(batch) % len(index)
     triples = jnp.asarray(index[sel])
+    # AOT lowering of the SAME step for FLOP accounting (train MFU): one
+    # fwd of all 3 towers + bwd + clip + SGD per step, no chunk loop, so
+    # cost_analysis needs no trip-count scaling (unlike the eval program)
+    train_flops = _flops_of(
+        step.lower(state, vt_i, vt_l, triples, jax.random.key(1), 1e-4).compile()
+    )
     state, m = step(state, vt_i, vt_l, triples, jax.random.key(1), 1e-4)
 
     def fetch(st):
@@ -174,10 +180,17 @@ def bench_train() -> dict:
     base = _load_baseline("reference_cpu_train.json")
     if base and base.get("cube") == s and list(FILTERS) == base.get("num_filters"):
         vs = slices_per_sec / base["slices_per_sec"]
+    peak = _peak_tflops()
+    train_tflops = train_flops / sec / 1e12 if train_flops else None
     return {
         "train_slices_per_sec_per_chip": round(slices_per_sec, 2),
         "train_batch": batch,
         "train_vs_baseline": round(vs, 2) if vs else None,
+        "train_flops_per_step": train_flops,
+        "train_achieved_tflops": round(train_tflops, 4) if train_tflops else None,
+        "train_mfu": (
+            round(train_tflops / peak, 4) if train_tflops and peak else None
+        ),
     }
 
 
