@@ -48,7 +48,7 @@ BENCH_QUANTIZE=int8 for the quantized eval path, BENCH_TRAIN_BATCH for the
 train sub-benchmark's batch (default 128 = measured v5e optimum),
 BENCH_SKIP_TRAIN=1 to drop the train sub-benchmark, BENCH_PEAK_TFLOPS,
 BENCH_INPUT_DTYPE=uint8|bfloat16|float32 for the H2D volume wire dtype
-(default auto: bf16 iff BENCH_BF16).
+(default uint8 — measured-optimal single-volume latency, docs/PERF.md).
 """
 
 from __future__ import annotations
@@ -154,24 +154,26 @@ def bench_train() -> dict:
 
     sel = np.arange(batch) % len(index)
     triples = jnp.asarray(index[sel])
-    # AOT lowering of the SAME step for FLOP accounting (train MFU): one
-    # fwd of all 3 towers + bwd + clip + SGD per step, no chunk loop, so
-    # cost_analysis needs no trip-count scaling (unlike the eval program)
-    train_flops = _flops_of(
-        step.lower(state, vt_i, vt_l, triples, jax.random.key(1), 1e-4).compile()
-    )
-    state, m = step(state, vt_i, vt_l, triples, jax.random.key(1), 1e-4)
+    # AOT lower+compile ONCE and reuse the executable for the timed calls:
+    # cost_analysis comes from the same program (one fwd of all 3 towers +
+    # bwd + clip + SGD, no chunk loop → no trip-count scaling), and the
+    # jit path would otherwise recompile the identical program (the AOT
+    # compile does not populate jax.jit's dispatch cache) — a doubled
+    # heavy compile on the tunneled TPU where long compiles are risky.
+    compiled = step.lower(state, vt_i, vt_l, triples, jax.random.key(1), 1e-4).compile()
+    train_flops = _flops_of(compiled)
+    state, m = compiled(state, vt_i, vt_l, triples, jax.random.key(1), 1e-4)
 
     def fetch(st):
         # host round-trip of a param element: unambiguous completion sync
         # (block_until_ready acks early through the tunneled backend)
         return float(np.asarray(jax.tree_util.tree_leaves(st.params)[0]).ravel()[0])
 
-    fetch(state)  # compile + warmup
+    fetch(state)  # warmup sync (compile already done above)
     n_steps = 10
     t0 = time.perf_counter()
     for i in range(n_steps):
-        state, m = step(state, vt_i, vt_l, triples, jax.random.fold_in(jax.random.key(2), i), 1e-4)
+        state, m = compiled(state, vt_i, vt_l, triples, jax.random.fold_in(jax.random.key(2), i), 1e-4)
     fetch(state)
     sec = (time.perf_counter() - t0) / n_steps
     slices_per_sec = batch / sec
@@ -336,7 +338,7 @@ def bench_infer() -> dict:
         "bf16": BF16,
         "eval_batch": EVAL_BATCH,
         "quantize": QUANTIZE,
-        "input_dtype": INPUT_DTYPE or ("bfloat16" if BF16 else "float32"),
+        "input_dtype": INPUT_DTYPE,
     }
 
 

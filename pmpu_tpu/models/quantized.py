@@ -244,11 +244,19 @@ def export_scales(q, num_filters, probabilistic: bool) -> dict:
     quantized conv in forward order; fcomb entries when that path is
     quantized). Inverse of :func:`import_scales` — persists first-volume
     self-calibration so later processes (serving restarts, other hosts)
-    reuse the exact same scales instead of recalibrating."""
+    reuse the exact same scales instead of recalibrating. The architecture
+    fingerprint (num_filters / model family) is embedded so a file from a
+    same-depth but different-width model cannot import silently with
+    wrong scales."""
     layers = _calibrated_layers(q, num_filters, probabilistic)
     if any(l.get("xs") is None for l in layers):
         raise ValueError("tree is not calibrated (run calibrate_* first)")
-    d = {"version": 1, "xs": [float(np.asarray(l["xs"])) for l in layers]}
+    d = {
+        "version": 2,
+        "num_filters": [int(f) for f in num_filters],
+        "probabilistic": bool(probabilistic),
+        "xs": [float(np.asarray(l["xs"])) for l in layers],
+    }
     if probabilistic and "fcomb_q" in q:
         fq = q["fcomb_q"]
         if fq.get("k0_feat_xs") is not None:
@@ -260,12 +268,24 @@ def export_scales(q, num_filters, probabilistic: bool) -> dict:
 
 def import_scales(q, d: dict, num_filters, probabilistic: bool):
     """Bake previously exported static scales IN PLACE (inverse of
-    :func:`export_scales`). The scale count must match the architecture —
-    a mismatch means the file belongs to a different model."""
+    :func:`export_scales`). The architecture must match — a mismatch means
+    the file belongs to a different model, and importing its scales would
+    silently degrade int8 quality. Version-1 files (no fingerprint) are
+    accepted on the scale-count check alone."""
     layers = _calibrated_layers(q, num_filters, probabilistic)
     xs = d["xs"]
-    # validate EVERY count before touching the tree: a partial import on
+    # validate EVERYTHING before touching the tree: a partial import on
     # error would leave mixed old/new scales behind a caught exception
+    if "num_filters" in d and list(d["num_filters"]) != [int(f) for f in num_filters]:
+        raise ValueError(
+            f"calibration file was exported for num_filters="
+            f"{d['num_filters']}; this model has {list(num_filters)}"
+        )
+    if "probabilistic" in d and bool(d["probabilistic"]) != bool(probabilistic):
+        raise ValueError(
+            f"calibration file was exported for probabilistic="
+            f"{d['probabilistic']}; this model is probabilistic={probabilistic}"
+        )
     if len(xs) != len(layers):
         raise ValueError(
             f"calibration file has {len(xs)} scales; this architecture "

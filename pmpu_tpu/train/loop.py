@@ -285,12 +285,15 @@ def train_net(cfg: Config, store: VolumeStore, interrupt_flag=None):
         # too (reference-parity numerics). uint8 masks are gated on the
         # ACTUAL label range (n_classes is a flag, not a bound: binary BCE
         # runs use raw label values as targets), so they are always
-        # bit-identical after the on-device upcast.
+        # bit-identical after the on-device upcast. Negative labels (e.g.
+        # a -1 ignore sentinel) would wrap to 255 on a uint8 wire, so the
+        # gate checks BOTH ends of the range.
         compact_img = cfg.bf16 and not cfg.augment
+        compact_mask = store.labels.min() >= 0 and store.labels.max() < 256
         stream_pipe = PrefetchPipeline(
             store,
             image_dtype=ml_dtypes.bfloat16 if compact_img else np.float32,
-            mask_dtype=np.uint8 if store.labels.max() < 256 else np.int32,
+            mask_dtype=np.uint8 if compact_mask else np.int32,
         )
         log.info("streaming data path: host gather + double-buffered uploads")
     elif cfg.stream:

@@ -143,6 +143,19 @@ def test_int8_scale_export_import_roundtrip():
     with pytest.raises(ValueError, match="scales"):
         qz.import_scales(q2, {"xs": d["xs"][:-1]}, (8, 16), probabilistic=False)
 
+    # architecture fingerprint: a same-depth/different-width file (same
+    # scale COUNT, so the count check alone would pass) must fail fast
+    assert d["num_filters"] == [8, 16] and d["probabilistic"] is False
+    with pytest.raises(ValueError, match="num_filters"):
+        qz.import_scales(q2, {**d, "num_filters": [64, 128]}, (8, 16), False)
+    with pytest.raises(ValueError, match="probabilistic"):
+        qz.import_scales(q2, {**d, "probabilistic": True}, (8, 16), False)
+    # version-1 files (no fingerprint) still import on count alone
+    q3 = qz.quantize_unet(variables, (8, 16))
+    qz.import_scales(q3, {"version": 1, "xs": d["xs"]}, (8, 16), False)
+    y3 = qz.unet_int8(q3, x, (8, 16), 3, dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y3))
+
     # uncalibrated trees refuse to export
     with pytest.raises(ValueError, match="not calibrated"):
         qz.export_scales(qz.quantize_unet(variables, (8, 16)), (8, 16), False)
