@@ -73,6 +73,27 @@ def eval_chunk_plan(total: int, h: int, w: int, eval_batch: int):
     return b, -(-total // b)
 
 
+def device_hbm_limit() -> Optional[int]:
+    """Accelerator memory budget in bytes for the OOM pre-flight guard.
+    ``PMPU_HBM_BYTES`` overrides; else the backend's reported ``bytes_limit``
+    (TPU/GPU); None when unknown (CPU) — the guard is then skipped."""
+    env = os.environ.get("PMPU_HBM_BYTES")
+    if env:
+        return int(env)
+    try:
+        stats = jax.devices()[0].memory_stats()
+        return int(stats["bytes_limit"]) if stats else None
+    except Exception:
+        return None
+
+
+def _is_oom_error(e: Exception) -> bool:
+    """XLA compile/runtime out-of-memory — the error class varies by
+    backend/version, so match the canonical status text."""
+    s = f"{type(e).__name__}: {e}"
+    return "RESOURCE_EXHAUSTED" in s or "Resource exhausted" in s
+
+
 def _pack2bit(a):
     """(..., S) uint8 class ids < 4 → (..., S//4), 4 voxels per byte
     (voxel j of each group sits at bits 2j..2j+1)."""
@@ -569,6 +590,28 @@ class VolumeEvaluator:
             )
         return result
 
+    def batched_hbm_estimate(self, s: int, volumes_per_batch: int) -> int:
+        """Rough activation-HBM footprint (bytes) of the vmapped
+        ``volumes_per_batch``-volume whole-volume program at cube size
+        ``s`` — the pre-flight OOM guard for :meth:`evaluate_store_batched`.
+
+        Dominant term: per-chunk model activations, ∝ chunk·s²·f0·dtype,
+        with a coefficient split between the shared UNet/prior towers and
+        the per-sample fcomb decode. Calibrated against the one measured
+        XLA datapoint (V=2 at 128³, chunk 128, 5 samples, bf16 → 18.0 GB
+        compile-time reservation vs 15.75 GB v5e HBM, docs/PERF.md); the
+        slab/per-view f32 volume term matters only at small f0. This is a
+        coarse planning number (±30%), used with headroom — a compile-time
+        RESOURCE_EXHAUSTED backstop catches anything it underestimates."""
+        b, _ = eval_chunk_plan(self.num_views * s, s, s, self.eval_batch)
+        d = 2 if getattr(self.task.net, "dtype", None) == jnp.bfloat16 else 4
+        f0 = self.task.net.num_filters[0]
+        n = self.n_samples if self.task.is_probabilistic else 1
+        c = max(self.task.n_classes, 2)
+        per_vol = b * s * s * f0 * d * (14 + 4 * n)
+        per_vol += s**3 * 4 * (3 + 2 * (self.num_views + 1) * c)
+        return volumes_per_batch * per_vol
+
     def evaluate_store_batched(
         self,
         variables,
@@ -585,19 +628,51 @@ class VolumeEvaluator:
         structure, NIfTI exports, and fused-entropy uncertainty maps match
         the sequential path exactly (tested); the final partial group is
         padded by repeating the last volume so one program shape serves the
-        whole store."""
+        whole store.
+
+        OOM guard: the V×-activation program does not fit on one chip at
+        full scale (V=2 at 128³ wants ~18 GB vs 15.75 GB v5e HBM) — if the
+        :meth:`batched_hbm_estimate` exceeds the device budget, or XLA
+        raises RESOURCE_EXHAUSTED compiling the first group, this falls
+        back to the sequential pipelined :meth:`evaluate_store` with a
+        warning instead of handing the user a raw XLA OOM."""
         key = key if key is not None else jax.random.key(0)
         save_dir, uncertainty_dir = save_dir or None, uncertainty_dir or None
         vb = max(1, volumes_per_batch)
         n = len(store)
+        import logging
+
+        logger = logging.getLogger(__name__)
+
+        def fallback(reason):
+            logger.warning(
+                "--eval-mode batched: %s; falling back to the sequential "
+                "pipelined evaluator (same report/exports; use a smaller "
+                "--eval-volumes-batch or cube to keep the batched path)",
+                reason,
+            )
+            return self.evaluate_store(
+                variables, store, key=key, save_dir=save_dir,
+                uncertainty_dir=uncertainty_dir,
+            )
+
+        if n:
+            s = int(np.asarray(store.images[0]).shape[0])
+            limit = device_hbm_limit()
+            est = self.batched_hbm_estimate(s, vb)
+            if limit is not None and est > 0.90 * limit:
+                return fallback(
+                    f"estimated activation footprint {est / 2**30:.1f} GiB "
+                    f"for {vb} volumes at {s}^3 exceeds the {limit / 2**30:.1f} "
+                    "GiB device budget"
+                )
+
         per_view = [[] for _ in range(self.num_views)]
         fused_dice = []
         from contextlib import nullcontext
 
         from pmpu_tpu.data import nifti
-        import logging
 
-        logger = logging.getLogger(__name__)
         writer_cm = (
             nifti.AsyncWriter() if (save_dir or uncertainty_dir) else nullcontext()
         )
@@ -613,11 +688,31 @@ class VolumeEvaluator:
                 # draws are deterministic per mode but differ from the
                 # sequential path
                 gkey = jax.random.fold_in(key, g0 // vb)
-                out = self.evaluate_volumes_batched(variables, imgs, truths, key=gkey)
+                try:
+                    out = self.evaluate_volumes_batched(variables, imgs, truths, key=gkey)
+                except Exception as e:
+                    # backstop for whatever the estimate missed — only on
+                    # the first group (later groups reuse the compiled
+                    # program, so a first-group success means they fit)
+                    if g0 == 0 and _is_oom_error(e):
+                        return fallback(f"XLA out of memory ({type(e).__name__})")
+                    raise
                 fused = out["fused"]
-                argmax = np.asarray(
-                    jnp.argmax(fused, axis=-1).astype(jnp.uint8)
-                ).astype(np.float32)
+                # group-wide compact fetches, matching the sequential path's
+                # wire engineering (docs/PERF.md): 2-bit packed segmentation
+                # when class ids fit, uint8 otherwise; entropy as uint16
+                # fixed-point in ONE dispatch per group
+                if self._pack_classes and fused.shape[3] % 4 == 0:
+                    seg = _unpack2bit(
+                        np.asarray(self._argmax_packed(fused))
+                    ).astype(np.float32)
+                else:
+                    seg = np.asarray(self._argmax_u8(fused)).astype(np.float32)
+                ent = (
+                    self._fetch_entropy(self._entropy(fused))
+                    if uncertainty_dir
+                    else None
+                )
                 for j, i in enumerate(idxs):
                     d = out["dice"][j]
                     for v in range(self.num_views):
@@ -628,12 +723,9 @@ class VolumeEvaluator:
                         np.round(d[-1], 4),
                     )
                     if save_dir:
-                        writer.save(f"{save_dir}/{store.ids[i]}", argmax[j])
+                        writer.save(f"{save_dir}/{store.ids[i]}", seg[j])
                     if uncertainty_dir:
-                        writer.save(
-                            f"{uncertainty_dir}/{store.ids[i]}",
-                            self._fetch_entropy(self._entropy(fused[j])),
-                        )
+                        writer.save(f"{uncertainty_dir}/{store.ids[i]}", ent[j])
         return {
             "per_view": [np.stack(v) for v in per_view],
             "fused": np.stack(fused_dice),

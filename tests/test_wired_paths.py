@@ -121,6 +121,123 @@ def test_batched_store_eval_matches_sequential_report():
         np.testing.assert_allclose(bat["per_view"][v], seq["per_view"][v], rtol=1e-4, atol=1e-6)
 
 
+def test_batched_store_eval_compact_exports_match_sequential(tmp_path):
+    """The batched path's NIfTI exports now ride the same compact wire as
+    the sequential path (2-bit packed argmax, one uint16 entropy dispatch
+    per group) — bit-identical files for the deterministic model."""
+    task = make_task("unet", n_classes=3, num_filters=(4, 8))
+    s = 12
+    variables = task.init_variables(
+        jax.random.key(0), jnp.zeros((1, s, s, 1)), jnp.zeros((1, s, s, 1), jnp.int32)
+    )
+
+    class FakeStore:
+        images = [RNG.random((s, s, s)).astype(np.float32) for _ in range(3)]
+        labels = [RNG.integers(0, 3, size=(s, s, s)).astype(np.int32) for _ in range(3)]
+        ids = ["a.nii", "b.nii", "c.nii"]
+
+        def __len__(self):
+            return 3
+
+    dirs = {k: tmp_path / k for k in ("seq", "bat", "useq", "ubat")}
+    for d in dirs.values():
+        d.mkdir()
+    ev = VolumeEvaluator(task, eval_batch=0)
+    ev.evaluate_store(
+        variables, FakeStore(), key=jax.random.key(1),
+        save_dir=str(dirs["seq"]), uncertainty_dir=str(dirs["useq"]),
+    )
+    ev.evaluate_store_batched(
+        variables, FakeStore(), key=jax.random.key(1), volumes_per_batch=2,
+        save_dir=str(dirs["bat"]), uncertainty_dir=str(dirs["ubat"]),
+    )
+    from pmpu_tpu.data import nifti
+
+    for name in FakeStore.ids:
+        np.testing.assert_array_equal(
+            nifti.load(str(dirs["bat"] / name)), nifti.load(str(dirs["seq"] / name))
+        )
+        np.testing.assert_array_equal(
+            nifti.load(str(dirs["ubat"] / name)), nifti.load(str(dirs["useq"] / name))
+        )
+
+
+def test_batched_eval_oom_guard(tmp_path, monkeypatch):
+    """VERDICT r2 item 5: the flagship full-scale config (V=2 at 128³,
+    bf16, 5 samples) must trip the pre-flight HBM estimate on a 16 GB
+    chip, and evaluate_store_batched must fall back to the sequential
+    pipeline — producing the full report — instead of raising a raw XLA
+    OOM. The compile-time RESOURCE_EXHAUSTED backstop covers whatever the
+    estimate misses."""
+    from pmpu_tpu.inference import engine as eng
+
+    # the estimator reproduces the measured datapoint: ~18 GB at V=2/128³
+    # (docs/PERF.md) > the 15.75 GB v5e budget
+    flagship = make_task(
+        "probunet", n_classes=3, num_filters=(64, 128, 256, 512, 1024),
+        dtype=jnp.bfloat16,
+    )
+    ev_flag = VolumeEvaluator(flagship, n_samples=5, eval_batch=0)
+    est = ev_flag.batched_hbm_estimate(128, 2)
+    assert est > 0.90 * int(15.75 * 2**30)
+    assert 10 * 2**30 < est < 30 * 2**30  # sane, not wildly off the 18 GB mark
+
+    task = make_task("unet", n_classes=3, num_filters=(4, 8))
+    s = 12
+    variables = task.init_variables(
+        jax.random.key(0), jnp.zeros((1, s, s, 1)), jnp.zeros((1, s, s, 1), jnp.int32)
+    )
+
+    class FakeStore:
+        images = [RNG.random((s, s, s)).astype(np.float32) for _ in range(3)]
+        labels = [RNG.integers(0, 3, size=(s, s, s)).astype(np.int32) for _ in range(3)]
+        ids = ["a.nii", "b.nii", "c.nii"]
+
+        def __len__(self):
+            return 3
+
+    ev = VolumeEvaluator(task, eval_batch=0)
+    seq = ev.evaluate_store(variables, FakeStore(), key=jax.random.key(1))
+
+    # 1) pre-flight estimate: a tiny HBM budget must route around the
+    #    batched program entirely (it would be an error to even build it)
+    monkeypatch.setenv("PMPU_HBM_BYTES", "1000000")
+    calls = []
+    monkeypatch.setattr(
+        ev, "evaluate_volumes_batched",
+        lambda *a, **k: calls.append(1) or (_ for _ in ()).throw(AssertionError),
+    )
+    guarded = ev.evaluate_store_batched(
+        variables, FakeStore(), key=jax.random.key(1), volumes_per_batch=2
+    )
+    assert not calls
+    np.testing.assert_array_equal(guarded["fused"], seq["fused"])
+
+    # 2) backstop: estimate passes but XLA OOMs compiling the first group
+    monkeypatch.delenv("PMPU_HBM_BYTES")
+    ev2 = VolumeEvaluator(task, eval_batch=0)
+
+    def boom(*a, **k):
+        raise RuntimeError("RESOURCE_EXHAUSTED: Attempting to reserve 18.0G")
+
+    monkeypatch.setattr(ev2, "evaluate_volumes_batched", boom)
+    recovered = ev2.evaluate_store_batched(
+        variables, FakeStore(), key=jax.random.key(1), volumes_per_batch=2
+    )
+    np.testing.assert_array_equal(recovered["fused"], seq["fused"])
+
+    # 3) a non-OOM failure must still surface, not be swallowed
+    ev3 = VolumeEvaluator(task, eval_batch=0)
+    monkeypatch.setattr(
+        ev3, "evaluate_volumes_batched",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("INVALID_ARGUMENT")),
+    )
+    with pytest.raises(RuntimeError, match="INVALID_ARGUMENT"):
+        ev3.evaluate_store_batched(
+            variables, FakeStore(), key=jax.random.key(1), volumes_per_batch=2
+        )
+
+
 def test_pipelined_store_eval_bit_identical(tmp_path):
     """Dispatch-ahead/fetch-behind pipelining (pipeline_depth>0) must change
     NOTHING but wall-clock: identical dice tables and identical NIfTI
