@@ -11,6 +11,23 @@ both pipelines vs truth, and the wall-clock of each path. For the
 deterministic U-Net the two pipelines are numerically equivalent (float32
 reduction-order differences only); the probabilistic model matches when
 decoding the prior mean (sampling RNGs differ by design).
+
+TRAINED-DICE HEAD-TO-HEAD (``--train``; the BASELINE.md "val Dice within
+0.5 pts" control): train the reference ALGORITHM (the in-repo torch
+mirror driven by a faithful implementation of the reference training
+loop, ``train.py:27-196``) and this framework on the SAME dataset, the
+same volume split, and the same hyperparameters (defaults = the
+reference's: epochs 5, batch 2, lr 1e-3, SGD momentum 0.9, plateau
+factor 0.1 / patience 5, grad-clip 0.1 — ``train.py:202-213,65-66,108``),
+then evaluate both with the reference's fused multi-view report
+(``eval.py:218-233``) on held-out volumes and print the per-class fused
+val-Dice delta. RNG streams necessarily differ between torch and JAX
+(init draws, shuffles, latent samples) — the comparison is converged
+quality, not bitwise (bitwise SGD/plateau parity lives in
+tests/test_train_parity.py).
+
+    python tools/compare_with_reference.py --train --model unet \\
+        --filters 16,32 --cube 32 -e 10 [--assert-pts 0.5]
 """
 
 from __future__ import annotations
@@ -79,6 +96,259 @@ def reference_eval_volume(tnet, vol: np.ndarray, n_classes: int = 3, probunet=Fa
     return fused.numpy()  # [X,C,Y,Z]
 
 
+def synth_volumes(n: int, s: int, seed: int):
+    """Synthetic head-to-head dataset: random bright sphere = class 1
+    (intensity ~0.85), bright border faces = class 2 (intensity 1.0),
+    noise floor 0.1. The border class serves two experimental-design
+    purposes: (a) every slice of every view has a stable maximum, so the
+    reference's PER-SLICE max normalization (``mri_dataset.py:109-110``)
+    cannot amplify empty-slice noise up to blob intensity (real MRI has
+    the same bright-landmark property — bone/skin); (b) no slice is ever
+    all-background, so the reference's empty-slice training filter
+    (``mri_dataset.py:45-47``) drops nothing and the trained behavior is
+    determined on EVERY slice type the evaluator visits — without this,
+    both implementations hallucinate unconstrained (and differently) on
+    the never-trained empty slices and the comparison measures noise,
+    not convergence. Returns (imgs, lbls) as (n,s,s,s) f32/i32."""
+    rng = np.random.default_rng(seed)
+    imgs = rng.random((n, s, s, s)).astype(np.float32) * 0.1
+    lbls = np.zeros((n, s, s, s), dtype=np.int32)
+    for i in range(n):
+        c = rng.integers(s // 3, 2 * s // 3, size=3)
+        x, y, z = np.ogrid[:s, :s, :s]
+        d2 = (x - c[0]) ** 2 + (y - c[1]) ** 2 + (z - c[2]) ** 2
+        lbls[i][d2 < (s // 4) ** 2] = 1
+        imgs[i] += 0.75 * (lbls[i] == 1)
+        for ax in range(3):
+            sl = [slice(None)] * 3
+            for edge in (0, -1):
+                sl[ax] = edge
+                imgs[i][tuple(sl)] = 1.0
+                lbls[i][tuple(sl)] = 2
+    return imgs, lbls
+
+
+def _slice_of(vol: np.ndarray, view: int, idx: int) -> np.ndarray:
+    """Axis-aligned slice, the reference's 3 views (mri_dataset.py:70-82)."""
+    if view == 0:
+        return vol[idx]
+    if view == 1:
+        return vol[:, idx]
+    return vol[:, :, idx]
+
+
+def reference_train(
+    tnet,
+    imgs: np.ndarray,
+    lbls: np.ndarray,
+    *,
+    probunet: bool,
+    epochs: int = 5,
+    batch_size: int = 2,
+    lr: float = 1e-3,
+    lrf: float = 0.1,
+    lrp: int = 5,
+    momentum: float = 0.9,
+    val_percent: float = 0.1,
+    beta: float = 10.0,
+    seed: int = 0,
+    log=print,
+):
+    """The reference training loop (``train.py:27-196``) run on the torch
+    mirror: multi-planar slice dataset with the empty-slice filter and
+    per-slice max normalization (``mri_dataset.py:37-51,109-110``), slice
+    random-split by ``val_percent`` (``train.py:40-42``), SGD(momentum) +
+    ReduceLROnPlateau('min' for multiclass, factor/patience from flags,
+    ``train.py:65-66``), gradient accumulation ``acc_steps=4 iff bs>4``
+    over ``bs//acc_steps`` minibatches with drop_last (``train.py:45-48``),
+    ``clip_grad_value_(0.1)`` (``train.py:108``), scheduler stepped on
+    mean validation loss (multiclass, ``train.py:172-182``). Probunet loss
+    = Σ CE(reconstruction of a posterior rsample) + β·mean KL(q‖p)
+    (``probabilistic_unet.py:281-308``); unet loss = mean CE
+    (``unet_trainer.py:23,30-37``)."""
+    import torch
+
+    from pmpu_tpu.data.index_map import build_index_map
+
+    torch.manual_seed(seed)
+    index = np.asarray(build_index_map(lbls, filter=True))
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(len(index))
+    n_val = int(len(index) * val_percent / 100.0 if val_percent > 1 else len(index) * val_percent)
+    val_rows, train_rows = index[perm[:n_val]], index[perm[n_val:]]
+
+    acc_steps = 4 if batch_size > 4 else 1
+    mb = batch_size // acc_steps
+
+    def fetch(rows):
+        xs, ys = [], []
+        for scan, view, idx in rows:
+            sl = _slice_of(imgs[scan], view, idx)
+            m = sl.max()
+            xs.append((sl / m if m != 0 else sl).astype(np.float32))
+            ys.append(_slice_of(lbls[scan], view, idx).astype(np.int64))
+        return (
+            torch.from_numpy(np.stack(xs))[:, None],
+            torch.from_numpy(np.stack(ys)),
+        )
+
+    opt = torch.optim.SGD(tnet.parameters(), lr=lr, momentum=momentum)
+    sched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, "min", factor=lrf, patience=lrp
+    )
+    ce_mean = torch.nn.CrossEntropyLoss()
+    ce_none = torch.nn.CrossEntropyLoss(reduction="none")
+
+    def loss_fn(x, y):
+        if not probunet:
+            return ce_mean(tnet(x), y)
+        feats, (mu_p, ls_p), (mu_q, ls_q) = tnet(x, y[:, None].to(torch.float32))
+        z_q = mu_q + torch.exp(ls_q) * torch.randn_like(mu_q)
+        recon = tnet.fcomb(feats, z_q)
+        # analytic diag-Gaussian KL(q||p), mean over batch (elbo :290-294)
+        kl = 0.5 * (
+            2 * (ls_p - ls_q)
+            + (torch.exp(2 * ls_q) + (mu_q - mu_p) ** 2) / torch.exp(2 * ls_p)
+            - 1.0
+        ).sum(dim=1)
+        return ce_none(recon, y).sum() + beta * kl.mean()
+
+    for epoch in range(epochs):
+        tnet.train()
+        order = rng.permutation(len(train_rows))
+        nb = len(order) // mb  # drop_last=True (train.py:48)
+        opt.zero_grad()
+        for i in range(nb):
+            x, y = fetch(train_rows[order[i * mb : (i + 1) * mb]])
+            loss = loss_fn(x, y) / acc_steps
+            loss.backward()
+            if (i + 1) % acc_steps == 0:
+                torch.nn.utils.clip_grad_value_(tnet.parameters(), 0.1)
+                opt.step()
+                opt.zero_grad()
+        tnet.eval()
+        loss_sum, nvb = 0.0, max(1, len(val_rows) // mb)
+        with torch.no_grad():
+            for i in range(nvb):
+                x, y = fetch(val_rows[i * mb : (i + 1) * mb])
+                loss_sum += float(loss_fn(x, y))
+        sched.step(loss_sum / nvb)
+        log(
+            f"  [torch mirror] epoch {epoch + 1}/{epochs} "
+            f"val_loss={loss_sum / nvb:.4f} lr={opt.param_groups[0]['lr']:.2e}"
+        )
+    return tnet
+
+
+def run_trained_head_to_head(args):
+    """--train mode: independent training of both implementations on the
+    same data/split/hyperparams, reference-report eval on held-out
+    volumes, per-class fused val-Dice delta (BASELINE.md row 3)."""
+    import torch
+
+    from torch_mirror import TProbUNet, TUNet
+
+    import jax
+    import jax.numpy as jnp
+
+    from pmpu_tpu.config import Config
+    from pmpu_tpu.data.volumes import VolumeStore
+    from pmpu_tpu.inference.engine import VolumeEvaluator
+    from pmpu_tpu.ops.metrics import volume_per_class_dice
+    from pmpu_tpu.train.loop import train_net
+
+    nf = tuple(int(x) for x in args.filters.split(","))
+    probunet = args.model == "probunet"
+    s = args.cube
+
+    if args.dir:
+        tr = VolumeStore.from_dirs(
+            os.path.join(args.dir, "train", "images"),
+            os.path.join(args.dir, "train", "labels"),
+        )
+        te = VolumeStore.from_dirs(
+            os.path.join(args.dir, "test", "images"),
+            os.path.join(args.dir, "test", "labels"),
+        )
+        imgs_tr = np.stack([tr.images[i] for i in range(len(tr))])
+        lbls_tr = np.stack([tr.labels[i] for i in range(len(tr))]).astype(np.int32)
+        imgs_te = [np.asarray(te.images[i]) for i in range(len(te))]
+        lbls_te = [np.asarray(te.labels[i]) for i in range(len(te))]
+        train_store = tr
+    else:
+        # one pool, reference-style 85/15-spirit volume split (nii.py:96-105):
+        # last n_test volumes held out; both sides see the identical arrays
+        imgs, lbls = synth_volumes(args.n_train + args.n_test, s, args.seed)
+        imgs_tr, lbls_tr = imgs[: args.n_train], lbls[: args.n_train]
+        imgs_te = list(imgs[args.n_train :])
+        lbls_te = list(lbls[args.n_train :])
+        train_store = VolumeStore.from_arrays(imgs_tr, lbls_tr)
+
+    hp = dict(
+        epochs=args.epochs, batch_size=args.batch, lr=args.lr,
+        lrf=0.1, lrp=args.patience, momentum=0.9, val_percent=args.val,
+    )
+    print(
+        f"head-to-head: model={args.model} filters={nf} cube={s} "
+        f"train_volumes={len(imgs_tr)} test_volumes={len(imgs_te)} hp={hp}"
+    )
+
+    # --- reference algorithm (torch mirror + reference loop) -------------
+    torch.manual_seed(args.seed)
+    t0 = time.perf_counter()
+    if probunet:
+        tnet = TProbUNet(1, 3, nf, latent_dim=6, no_convs_fcomb=4)
+    else:
+        tnet = TUNet(1, 3, nf)
+    reference_train(
+        tnet, imgs_tr, lbls_tr, probunet=probunet, seed=args.seed, **hp
+    )
+    t_ref_train = time.perf_counter() - t0
+
+    # --- this framework ---------------------------------------------------
+    t0 = time.perf_counter()
+    cfg = Config(
+        net=args.model, n_classes=3, num_filters=nf,
+        epochs=args.epochs, batchsize=args.batch, lr=args.lr,
+        lrf=0.1, lrp=args.patience, om=0.9,
+        val=args.val if args.val > 1 else args.val * 100.0,
+        seed=args.seed, save_cp=False,
+    )
+    state, task, _hist = train_net(cfg, train_store)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    t_our_train = time.perf_counter() - t0
+
+    # --- reference-report eval on the held-out volumes (eval.py:218-233) --
+    ev = VolumeEvaluator(task, n_samples=args.samples if probunet else 1, eval_batch=0)
+    ref_rows, our_rows = [], []
+    for i, (img, lbl) in enumerate(zip(imgs_te, lbls_te)):
+        ref_fused = reference_eval_volume(
+            tnet, img, probunet=probunet, n_samples=args.samples if probunet else 1,
+            seed=args.seed + i if probunet else None,
+        )
+        ref_rows.append([
+            float(volume_per_class_dice(
+                jnp.asarray(ref_fused.transpose(0, 2, 3, 1)), jnp.asarray(lbl), c))
+            for c in (1, 2)
+        ])
+        res = ev.evaluate_volume(variables, img, lbl, key=jax.random.key(args.seed + i))
+        our_rows.append(res["dice"][-1].tolist())
+
+    ref_d, our_d = np.asarray(ref_rows), np.asarray(our_rows)
+    delta = np.abs(our_d.mean(axis=0) - ref_d.mean(axis=0))
+    print(f"reference fused val dice: mean={ref_d.mean(axis=0)} std={ref_d.std(axis=0)}")
+    print(f"pmpu_tpu  fused val dice: mean={our_d.mean(axis=0)} std={our_d.std(axis=0)}")
+    print(
+        f"|delta| per class = {np.round(delta, 4)} "
+        f"(assert <= {args.assert_pts} pts = {args.assert_pts / 100:.4f})"
+    )
+    print(f"train wall: reference(torch/cpu)={t_ref_train:.1f}s ours={t_our_train:.1f}s")
+    ok = bool((delta <= args.assert_pts / 100.0).all())
+    print("PASS" if ok else "FAIL", "- trained val Dice within",
+          f"{args.assert_pts} pts" if ok else f"{args.assert_pts} pts NOT met")
+    return 0 if ok else 1
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dir", required=False, default=None, help="images/labels dir (default: synthetic)")
@@ -90,7 +360,23 @@ def main():
                     help="probunet: also run the seeded-sampling distributional "
                     "check (RNG streams differ by design; reports agreement)")
     ap.add_argument("--samples", type=int, default=5)
+    # --train head-to-head flags (reference defaults, train.py:202-213)
+    ap.add_argument("--train", action="store_true",
+                    help="trained-dice head-to-head instead of weight-parity")
+    ap.add_argument("-e", "--epochs", type=int, default=5)
+    ap.add_argument("-b", "--batch", type=int, default=2)
+    ap.add_argument("-l", "--lr", type=float, default=1e-3)
+    ap.add_argument("-p", "--patience", type=int, default=5)
+    ap.add_argument("-v", "--val", type=float, default=10.0,
+                    help="validation slice %% for the training loops")
+    ap.add_argument("--n-train", type=int, default=4, dest="n_train")
+    ap.add_argument("--n-test", type=int, default=2, dest="n_test")
+    ap.add_argument("--assert-pts", type=float, default=0.5, dest="assert_pts",
+                    help="max |val-dice delta| in points (0.5 pts = 0.005)")
     args = ap.parse_args()
+
+    if args.train:
+        return run_trained_head_to_head(args)
 
     nf = tuple(int(x) for x in args.filters.split(","))
 
