@@ -196,6 +196,13 @@ class VolumeEvaluator:
         self.calibration = calibration
         self._cal_rewrite = False  # set when an unreadable file needs replacing
         self._qvars_src = None  # identity cache: variables → quantized tree
+        # fused fcomb mean-decode kernel (ops/pallas/fcomb_mean.py):
+        # opt-in via PMPU_FCOMB_KERNEL=1. Measured SLOWER than XLA's
+        # decode_samples chain on v5e (8.5 vs 6.5 ms per 128-slice chunk,
+        # best paired-blockdiag variant): the chain is VPU-bound, not
+        # HBM-bound, and XLA is already near the elementwise floor —
+        # committed negative result, docs/PERF.md "Fused fcomb kernel".
+        self._use_fcomb_kernel = os.environ.get("PMPU_FCOMB_KERNEL") == "1"
         self._bases = None if num_views == 3 else jnp.asarray(make_view_bases(num_views))
         self._predict = jax.jit(self._predict_volume)
         self._report = jax.jit(self._dice_report)
@@ -414,14 +421,25 @@ class VolumeEvaluator:
                 )
                 zs = loc[None] + scale[None] * eps  # (n_samples, N, latent)
 
+            # reference averages the sample logits then softmaxes once
+            # (eval.py:148-157). Mean path on TPU: fused Pallas decode —
+            # the whole per-sample fcomb chain + mean stays in VMEM
+            # instead of materializing [S,N,H,W,f0] HBM intermediates
+            # (measured 5.9 → ~2 ms/chunk at 128³; docs/PERF.md).
+            if not per_sample and self._use_fcomb_kernel:
+                from pmpu_tpu.ops.pallas.fcomb_mean import fcomb_mean_decode
+
+                return fcomb_mean_decode(
+                    out.unet_features, zs, variables["params"]["fcomb"],
+                    no_convs_fcomb=net.no_convs_fcomb,
+                    dtype=getattr(net, "dtype", None) or jnp.float32,
+                )
             # factored multi-sample decode: feature half of fcomb layer 0
             # runs once for all samples (decode_samples docstring; ~45% of
             # on-device eval time vs the naive vmap(decode) on v5e)
             logits = net.apply(
                 variables, out.unet_features, zs, method=ProbabilisticUNet.decode_samples
             )
-            # reference averages the 5 sample logits then softmaxes once
-            # (eval.py:148-157)
             return logits if per_sample else jnp.mean(logits, axis=0)
         out = self.task.net.apply(variables, x, train=False)
         return out[None] if per_sample else out

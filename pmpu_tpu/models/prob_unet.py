@@ -135,7 +135,10 @@ class AxisAlignedConvGaussian(nn.Module):
         enc = Encoder(self.num_filters, self.no_convs_per_block, dtype=self.dtype, name="encoder")(
             x, train=train
         )
-        # global spatial mean (reference :96-99), keep NHWC 1×1 map
+        # global spatial mean (reference :96-99), keep NHWC 1×1 map.
+        # (A ones-vector einsum contraction was tried for the 128³ eval's
+        # 0.79 ms/chunk convert_reduce — XLA canonicalizes it back to the
+        # identical reduce, bit-for-bit and to the microsecond; round 3.)
         enc = jnp.mean(enc.astype(jnp.float32), axis=(1, 2), keepdims=True)
         mu_log_sigma = nn.Conv(
             2 * self.latent_dim,
@@ -265,7 +268,15 @@ class ProbabilisticUNet(nn.Module):
         cf = f.shape[-1]
         k0 = p["layer0"]["conv"]["kernel"].astype(cd)  # (1,1,cf+latent,f0)
         b0 = p["layer0"]["conv"]["bias"].astype(cd)
-        feat_half = jnp.einsum("nhwc,cf->nhwf", f, k0[0, 0, :cf, :])
+        # the feature half is expressed as a 1×1 CONV, not an einsum/dot:
+        # XLA-TPU gives convs the same {0,3,2,1} activation layout as the
+        # producing decoder conv, while a dot forces a pixel-flattened
+        # layout — the einsum form cost a 537 MB relayout copy per chunk
+        # at 128³ (round-3 trace ``copy.112``, 0.85 ms; docs/PERF.md)
+        feat_half = jax.lax.conv_general_dilated(
+            f, k0[:, :, :cf, :], window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
         z_half = zs.astype(cd) @ k0[0, 0, cf:, :] + b0  # (S,N,f0)
         x = jax.nn.relu(feat_half[None] + z_half[:, :, None, None, :])
         for i in range(1, self.no_convs_fcomb - 1):

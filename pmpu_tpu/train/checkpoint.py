@@ -112,8 +112,12 @@ def save_checkpoint_orbax(directory: str, state, plateau=None, rng_key=None, ext
         ckptr.save(os.path.join(path, "state"), payload, force=True)
     import json
 
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(meta, f)
+    # multi-host: every process participates in the Orbax save (each
+    # serializes its addressable shards), but exactly ONE writes the host-
+    # side metadata — concurrent writers of the same meta.json race
+    if jax.process_index() == 0:
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f)
 
 
 def save_checkpoint_orbax_async(directory: str, state, plateau=None, rng_key=None, extra=None):
@@ -145,9 +149,25 @@ def save_checkpoint_orbax_async(directory: str, state, plateau=None, rng_key=Non
     ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
     ckptr.save(os.path.join(path, "state"), payload, force=True)
     os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(meta, f)
+    # single-writer meta (see save_checkpoint_orbax): all processes join
+    # the Orbax save above, only process 0 writes the sidecar
+    if jax.process_index() == 0:
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f)
     return ckptr
+
+
+def orbax_checkpoint_complete(directory: str) -> bool:
+    """True iff an Orbax save to ``directory`` COMMITTED: Orbax renames its
+    tmp dir to the final ``state`` name only on commit, and process 0
+    writes the ``meta.json`` sidecar — a process dying mid-async-save
+    leaves the tmp dir (and possibly the sidecar) behind, and resuming
+    from such a torn checkpoint must be refused. Resume logic should pick
+    the newest directory for which this returns True."""
+    p = os.path.abspath(directory)
+    return os.path.isdir(os.path.join(p, "state")) and os.path.exists(
+        os.path.join(p, "meta.json")
+    )
 
 
 def load_checkpoint_orbax(directory: str, like_state) -> tuple:

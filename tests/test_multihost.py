@@ -130,3 +130,87 @@ def test_two_process_hostlocal_dp_matches_single_process(tmp_path):
                         jax.random.key(i + 1), jnp.float32(1e-3))
         golden.append(float(m["loss"]))
     np.testing.assert_allclose(results[0], golden, rtol=1e-5)
+
+
+def _launch_resume_workers(data, ckpt, port, total, crash_at):
+    env = dict(os.environ)
+    env.pop("PMPU_FORCE_CPU", None)
+    return [
+        subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tests", "mp_resume_worker.py"),
+             str(pid), "2", str(port), str(data), str(ckpt), str(total), str(crash_at)],
+            env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for pid in range(2)
+    ]
+
+
+def _parse_result(out):
+    lines = [l for l in out.splitlines() if l.startswith("RESULT ")]
+    return json.loads(lines[0][len("RESULT "):]) if lines else None
+
+
+@pytest.mark.slow
+def test_crash_midepoch_resume_from_async_orbax(tmp_path):
+    """VERDICT r2 item 7a: kill one process mid-epoch, then resume BOTH
+    from the newest COMMITTED async-Orbax checkpoint — the resumed
+    cluster must continue the exact golden loss sequence of an
+    uninterrupted run (same absolute-step keys/batches), the torn
+    checkpoint of the step in flight at the crash must be refused, and
+    the sharded-volume val eval at the end must agree across runs."""
+    data = tmp_path / "data"
+    _make_volumes(str(data))
+    total, crash_at = 5, 2  # dies after step 2 ran, before its checkpoint
+
+    # ---- golden: uninterrupted 2-process run ----
+    ckpt_g = tmp_path / "ckpt_gold"
+    procs = _launch_resume_workers(data, ckpt_g, _free_port(), total, -1)
+    golden = {}
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"golden worker failed:\n{out}\n{err}"
+        golden[_parse_result(out)["pid"]] = _parse_result(out)
+    assert golden[0]["losses"] == golden[1]["losses"]
+    assert len(golden[0]["losses"]) == total
+
+    # ---- crash run: pid 1 dies mid-epoch ----
+    ckpt_c = tmp_path / "ckpt_crash"
+    procs = _launch_resume_workers(data, ckpt_c, _free_port(), total, crash_at)
+    out1, err1 = procs[1].communicate(timeout=600)
+    assert procs[1].returncode == 17, f"expected simulated crash:\n{out1}\n{err1}"
+    # pid 0 is now wedged in a collective/orbax barrier with a dead peer —
+    # the orchestrator's failure detector would kill it; do the same
+    try:
+        out0, err0 = procs[0].communicate(timeout=30)
+    except subprocess.TimeoutExpired:
+        procs[0].kill()
+        out0, err0 = procs[0].communicate()
+    first = _parse_result(out1)
+    assert first is None or len(first["losses"]) <= total  # crashed before RESULT
+
+    # the step in flight at the crash must NOT have a committed checkpoint
+    from pmpu_tpu.train import checkpoint as ckpt_mod
+
+    assert ckpt_mod.orbax_checkpoint_complete(str(ckpt_c / f"step{crash_at}"))
+    assert not ckpt_mod.orbax_checkpoint_complete(str(ckpt_c / f"step{crash_at + 1}"))
+
+    # ---- resume BOTH processes from the surviving checkpoints ----
+    procs = _launch_resume_workers(data, ckpt_c, _free_port(), total, -1)
+    resumed = {}
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"resumed worker failed:\n{out}\n{err}"
+        r = _parse_result(out)
+        resumed[r["pid"]] = r
+    assert resumed[0]["start"] == crash_at  # newest committed = step{crash_at}
+    assert resumed[0]["losses"] == resumed[1]["losses"]
+
+    # golden-continues: the resumed tail must equal the uninterrupted run's
+    np.testing.assert_allclose(
+        resumed[0]["losses"], golden[0]["losses"][crash_at:], rtol=1e-6
+    )
+
+    # ---- sharded-volumes eval across 2 processes agrees with golden ----
+    np.testing.assert_allclose(resumed[0]["val_loss"], golden[0]["val_loss"], rtol=1e-5)
+    np.testing.assert_allclose(resumed[0]["val_dice"], golden[0]["val_dice"], rtol=1e-5)
+    assert np.isfinite(resumed[0]["val_dice"]).all()
