@@ -155,9 +155,19 @@ def quantize_unet(variables, num_filters, fake: bool = False):
 
 
 def unet_int8(q, x, num_filters, n_classes, apply_last_layer=True, dtype=jnp.bfloat16,
-              collect=None):
-    """Quantized mirror of ``UNet.__call__`` (models/unet.py:183-207)."""
+              collect=None, collect_up=None):
+    """Quantized mirror of ``UNet.__call__`` (models/unet.py:183-207).
+
+    Routes through the int8-RESIDENT forward (:func:`_unet_int8_resident`)
+    when the tree is fully calibrated (all layer ``xs`` + decoder up-half
+    ``uxs`` scales baked): inter-layer activations then live in HBM as
+    int8, quartering the elementwise traffic of the f32/bf16 quant chains
+    that dominated the int8 eval (docs/PERF.md). The dynamic/uncalibrated
+    path below stays as the calibration oracle; ``collect``/``collect_up``
+    record per-conv input amaxes and per-decoder-stage up-half amaxes."""
     nf = list(num_filters)
+    if collect is None and _unet_tree_resident(q, nf):
+        return _unet_int8_resident(q, x, nf, n_classes, apply_last_layer, dtype)
     xs = [_qdouble(x.astype(jnp.float32), q["inc"], act_dtype=dtype, collect=collect)]
     for i in range(len(nf) - 1):
         h = jax.lax.reduce_window(
@@ -176,10 +186,129 @@ def unet_int8(q, x, num_filters, n_classes, apply_last_layer=True, dtype=jnp.bfl
         ).astype(jnp.float32) + up["upb"]
         y1 = y1.astype(dtype)
         y1 = _pad_to_match(y1, skip)
+        if collect_up is not None:
+            collect_up.append(jnp.max(jnp.abs(y1.astype(jnp.float32))))
         y = _qdouble(
             jnp.concatenate([skip, y1.astype(skip.dtype)], axis=-1), up["dc"],
             act_dtype=dtype, collect=collect,
         )
+
+    if not apply_last_layer:
+        return y
+    out = jax.lax.conv_general_dilated(
+        y.astype(dtype), q["outc"]["w"].astype(dtype), (1, 1), "SAME",
+        dimension_numbers=_DN,
+    ).astype(jnp.float32) + q["outc"]["b"]
+    if n_classes == 1:
+        out = jax.nn.sigmoid(out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# int8-resident forward (VERDICT r2 item 2): inter-layer activations stored
+# int8 in HBM. The calibrated quant points are unchanged where it matters:
+# the producer's requant-epilogue computes EXACTLY the consumer's
+# clip(round(y/xs)) (bitwise-equal on encoder edges), and maxpool commutes
+# bitwise with the monotone quantizer, so pooling runs on int8 directly.
+# Decoder stages improve: conv(concat(skip, up)) splits into
+# conv(skip)+conv(up) with SEPARATE input scales (the skip half reuses its
+# encoder-edge int8 tensor; the up half gets its own calibrated ``uxs``),
+# so no concat is materialized and each half quantizes at its own, tighter
+# amax (the fused path used max of both).
+# ---------------------------------------------------------------------------
+
+def _enc_resident(layers) -> bool:
+    return all(
+        l.get("xs") is not None and l["w"].dtype == jnp.int8 for l in layers
+    )
+
+
+def _unet_tree_resident(q, nf) -> bool:
+    if any(l.get("xs") is None for l in _walk_unet_layers(q, nf)):
+        return False
+    if any(l["w"].dtype != jnp.int8 for l in _walk_unet_layers(q, nf)):
+        return False  # fake-quant trees have no int8 path to keep resident
+    return all(q[f"up{i}"].get("uxs") is not None for i in range(len(nf) - 1))
+
+
+def _requant(y_f32, out_xs):
+    """f32 activation → int8 at a static scale (the consumer's clip/round,
+    executed in the producer's epilogue so it fuses with the conv)."""
+    return jnp.clip(jnp.round(y_f32 / out_xs), -127, 127).astype(jnp.int8)
+
+
+def _qconv_r(xq, xs, layer, out_xs=None, relu=True, act_dtype=jnp.bfloat16):
+    """int8-in conv: s8 activations × s8 weights → int32 MXU accumulate;
+    epilogue dequantizes, adds the folded bias, ReLUs, and emits int8 at
+    ``out_xs`` (resident edge) or ``act_dtype`` (float boundary)."""
+    acc = jax.lax.conv_general_dilated(
+        xq, layer["w"], (1, 1), "SAME", dimension_numbers=_DN,
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * (xs * layer["ws"]) + layer["b"]
+    y = jax.nn.relu(y) if relu else y
+    return _requant(y, out_xs) if out_xs is not None else y.astype(act_dtype)
+
+
+def _split_dec_conv(skip_q, s_skip, up_q, s_up, layer, out_xs=None,
+                    act_dtype=jnp.bfloat16):
+    """conv(concat(skip, up)) as two int8 convs summed in f32 — the skip
+    half consumes the encoder's resident int8 tensor at its own scale, the
+    up half its requantized transpose-conv output; no concat tensor ever
+    exists."""
+    ca = skip_q.shape[-1]
+    w = layer["w"]
+    acc_s = jax.lax.conv_general_dilated(
+        skip_q, w[:, :, :ca, :], (1, 1), "SAME", dimension_numbers=_DN,
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * (s_skip * layer["ws"])
+    acc_u = jax.lax.conv_general_dilated(
+        up_q, w[:, :, ca:, :], (1, 1), "SAME", dimension_numbers=_DN,
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * (s_up * layer["ws"])
+    y = jax.nn.relu(acc_s + acc_u + layer["b"])
+    return _requant(y, out_xs) if out_xs is not None else y.astype(act_dtype)
+
+
+def _unet_int8_resident(q, x, nf, n_classes, apply_last_layer, dtype):
+    L = len(nf) - 1
+    i8min = jnp.asarray(jnp.iinfo(jnp.int8).min, jnp.int8)
+
+    inc0, inc1 = q["inc"]
+    xq = _requant(x.astype(jnp.float32), inc0["xs"])
+    # encoder: every edge int8; skip tensors ARE the resident edges, at the
+    # scale of their down-path consumer (amax(pool(h)) == amax(h) post-ReLU)
+    h = _qconv_r(xq, inc0["xs"], inc0, out_xs=inc1["xs"])
+    edge = q["down0"][0]["xs"]
+    h = _qconv_r(h, inc1["xs"], inc1, out_xs=edge)
+    skips = [(h, edge)]
+    for i in range(L):
+        pooled = jax.lax.reduce_window(
+            h, i8min, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID",
+        )
+        c0, c1 = q[f"down{i}"]
+        if i < L - 1:
+            edge_out = q[f"down{i + 1}"][0]["xs"]
+            h = _qconv_r(pooled, edge, c0, out_xs=c1["xs"])
+            h = _qconv_r(h, c1["xs"], c1, out_xs=edge_out)
+            skips.append((h, edge_out))
+            edge = edge_out
+        else:  # bottleneck: the consumer is the (float) transpose conv
+            h = _qconv_r(pooled, edge, c0, out_xs=c1["xs"])
+            y = _qconv_r(h, c1["xs"], c1, act_dtype=dtype)
+
+    for i in range(L):
+        skip_q, s_skip = skips[L - 1 - i]
+        up = q[f"up{i}"]
+        y1 = jax.lax.conv_transpose(
+            y.astype(dtype), up["upw"].astype(dtype), (2, 2), "VALID",
+            dimension_numbers=_DN, transpose_kernel=True,
+        ).astype(jnp.float32) + up["upb"]
+        y1q = _pad_to_match(_requant(y1, up["uxs"]), skip_q)
+        c0, c1 = up["dc"]
+        h = _split_dec_conv(skip_q, s_skip, y1q, up["uxs"], c0, out_xs=c1["xs"])
+        # conv1 feeds the next (float) transpose conv or the output head
+        y = _qconv_r(h, c1["xs"], c1, act_dtype=dtype)
 
     if not apply_last_layer:
         return y
@@ -222,11 +351,28 @@ def calibrate_unet(q, x, num_filters, n_classes, dtype=jnp.bfloat16,
                    margin: float = 1.25):
     """Observe per-layer input amaxes on a sample batch (eager run) and bake
     static scales IN PLACE. ``margin`` head-room absorbs activation drift
-    across volumes; out-of-range values saturate gracefully."""
+    across volumes; out-of-range values saturate gracefully. Also bakes the
+    decoder up-half scales (``uxs``) that enable the int8-resident forward
+    (split decoder convs — see :func:`_unet_int8_resident`)."""
     c: list = []
-    unet_int8(q, x, num_filters, n_classes, dtype=dtype, collect=c)
+    cu: list = []
+    unet_int8(q, x, num_filters, n_classes, dtype=dtype, collect=c, collect_up=cu)
     _bake_scales(_walk_unet_layers(q, list(num_filters)), c, margin)
+    _bake_up_scales(q, list(num_filters), cu, margin)
     return q
+
+
+def _bake_up_scales(q, nf, collected_up, margin: float):
+    """Per-decoder-stage up-half amaxes → static ``uxs`` scales (skipped
+    for fake-quant trees, which never go resident)."""
+    if len(collected_up) != len(nf) - 1:
+        raise ValueError(
+            f"up-scale calibration mismatch: {len(nf) - 1} stages, "
+            f"{len(collected_up)} amaxes"
+        )
+    for i, amax in enumerate(collected_up):
+        a = max(float(np.asarray(amax)), 1e-9)
+        q[f"up{i}"]["uxs"] = jnp.asarray(a * margin / 127.0, jnp.float32)
 
 
 def _calibrated_layers(q, num_filters, probabilistic: bool):
@@ -257,6 +403,15 @@ def export_scales(q, num_filters, probabilistic: bool) -> dict:
         "probabilistic": bool(probabilistic),
         "xs": [float(np.asarray(l["xs"])) for l in layers],
     }
+    # decoder up-half scales (int8-resident split convs); absent on trees
+    # calibrated by pre-round-3 code — import leaves uxs unset then and
+    # the forward falls back to the fused-concat path
+    uq = q["unet"] if probabilistic else q
+    if all(uq[f"up{i}"].get("uxs") is not None for i in range(len(num_filters) - 1)):
+        d["us"] = [
+            float(np.asarray(uq[f"up{i}"]["uxs"]))
+            for i in range(len(num_filters) - 1)
+        ]
     if probabilistic and "fcomb_q" in q:
         fq = q["fcomb_q"]
         if fq.get("k0_feat_xs") is not None:
@@ -297,8 +452,17 @@ def import_scales(q, d: dict, num_filters, probabilistic: bool):
             f"calibration file has {len(d['fcomb_xs'])} fcomb scales; "
             f"expected {1 + len(fq['layers'])}"
         )
+    if "us" in d and len(d["us"]) != len(num_filters) - 1:
+        raise ValueError(
+            f"calibration file has {len(d['us'])} up-half scales; this "
+            f"architecture has {len(num_filters) - 1} decoder stages"
+        )
     for layer, v in zip(layers, xs):
         layer["xs"] = jnp.asarray(v, jnp.float32)
+    if "us" in d:
+        uq = q["unet"] if probabilistic else q
+        for i, v in enumerate(d["us"]):
+            uq[f"up{i}"]["uxs"] = jnp.asarray(v, jnp.float32)
     if fq is not None:
         fx = d["fcomb_xs"]
         fq["k0_feat_xs"] = jnp.asarray(fx[0], jnp.float32)
@@ -309,8 +473,12 @@ def import_scales(q, d: dict, num_filters, probabilistic: bool):
 
 def calibrate_probunet(q, x, net, dtype=jnp.bfloat16, margin: float = 1.25):
     c: list = []
-    feats, loc, _scale = probunet_features_prior_int8(q, x, net, dtype=dtype, collect=c)
+    cu: list = []
+    feats, loc, _scale = probunet_features_prior_int8(
+        q, x, net, dtype=dtype, collect=c, collect_up=cu
+    )
     _bake_scales(_calibrated_layers(q, net.num_filters, True), c, margin)
+    _bake_up_scales(q["unet"], list(net.num_filters), cu, margin)
     if "fcomb_q" in q:  # calibrate the fcomb matmuls with prior-mean draws
         fc: list = []
         fcomb_decode_samples_int8(q["fcomb_q"], feats, loc[None], dtype=dtype,
@@ -415,22 +583,42 @@ def quantize_probunet(variables, net, fake: bool = False,
     return q
 
 
-def probunet_features_prior_int8(q, x, net, dtype=jnp.bfloat16, collect=None):
+def probunet_features_prior_int8(q, x, net, dtype=jnp.bfloat16, collect=None,
+                                 collect_up=None):
     """Quantized mirror of ``ProbabilisticUNet.__call__`` at eval (no
     posterior): returns (unet_features, prior_loc, prior_scale)."""
     nf = list(net.num_filters)
     feats = unet_int8(q["unet"], x, nf, net.num_classes, apply_last_layer=False,
-                      dtype=dtype, collect=collect)
+                      dtype=dtype, collect=collect, collect_up=collect_up)
 
-    h = x.astype(jnp.float32)
-    li = iter(q["prior_enc"])
-    for i in range(len(nf)):
-        if i != 0:
-            # pool in the compact dtype; within a block the f32 chain stays
-            # virtual so requant fuses with the producing epilogue
-            h = avg_pool_ceil(h.astype(dtype))
-        for _j in range(net.no_convs_per_block):
-            h = _qconv(h, next(li), act_dtype=jnp.float32, collect=collect)
+    if collect is None and _enc_resident(q["prior_enc"]):
+        # int8-resident prior tower: intra-block edges stay int8 in HBM
+        # (the block's last conv emits the compute dtype for the avgpool,
+        # whose output requantizes at the next block's calibrated scale)
+        li = list(q["prior_enc"])
+        idx = 0
+        h = x.astype(jnp.float32)
+        for i in range(len(nf)):
+            if i != 0:
+                h = avg_pool_ceil(h.astype(dtype)).astype(jnp.float32)
+            hq = _requant(h, li[idx]["xs"])
+            for j in range(net.no_convs_per_block):
+                layer = li[idx]
+                idx += 1
+                if j < net.no_convs_per_block - 1:
+                    hq = _qconv_r(hq, layer["xs"], layer, out_xs=li[idx]["xs"])
+                else:
+                    h = _qconv_r(hq, layer["xs"], layer, act_dtype=jnp.float32)
+    else:
+        h = x.astype(jnp.float32)
+        li = iter(q["prior_enc"])
+        for i in range(len(nf)):
+            if i != 0:
+                # pool in the compact dtype; within a block the f32 chain
+                # stays virtual so requant fuses with the producing epilogue
+                h = avg_pool_ceil(h.astype(dtype))
+            for _j in range(net.no_convs_per_block):
+                h = _qconv(h, next(li), act_dtype=jnp.float32, collect=collect)
     enc = jnp.mean(h, axis=(1, 2), keepdims=True)
     mls = jax.lax.conv_general_dilated(
         enc, q["prior_head"]["w"], (1, 1), "SAME", dimension_numbers=_DN
@@ -460,8 +648,9 @@ def fcomb_decode_samples_int8(fq, unet_features, zs, dtype=jnp.bfloat16,
     cd = dtype or jnp.float32
     f = unet_features.astype(jnp.float32)
     f_i8, fxs = _qtensor(f, fq.get("k0_feat_xs"), collect)
-    fh = jnp.einsum(
-        "nhwc,cf->nhwf", f_i8, fq["k0_feat"], preferred_element_type=jnp.int32
+    fh = jax.lax.conv_general_dilated(
+        f_i8, fq["k0_feat"][None, None], (1, 1), "VALID",
+        dimension_numbers=_DN, preferred_element_type=jnp.int32,
     ).astype(jnp.float32) * (fxs * fq["k0_feat_sc"])
     z_half = zs.astype(jnp.float32) @ fq["k0_z"] + fq["b0"]
     x = jax.nn.relu(fh[None] + z_half[:, :, None, None, :])
@@ -486,7 +675,13 @@ def fcomb_decode_samples(fcomb_params, unet_features, zs, no_convs_fcomb,
     cf = f.shape[-1]
     k0 = p["layer0"]["conv"]["kernel"].astype(cd)
     b0 = p["layer0"]["conv"]["bias"].astype(cd)
-    feat_half = jnp.einsum("nhwc,cf->nhwf", f, k0[0, 0, :cf, :])
+    # 1×1 conv, not einsum: shares the producer conv's activation layout
+    # instead of forcing a 537 MB relayout copy per chunk (same fix as
+    # ProbabilisticUNet.decode_samples — round-3 trace, docs/PERF.md)
+    feat_half = jax.lax.conv_general_dilated(
+        f, k0[:, :, :cf, :], window_strides=(1, 1), padding="VALID",
+        dimension_numbers=_DN,
+    )
     z_half = zs.astype(cd) @ k0[0, 0, cf:, :] + b0
     x = jax.nn.relu(feat_half[None] + z_half[:, :, None, None, :])
     for i in range(1, no_convs_fcomb - 1):

@@ -150,11 +150,20 @@ def test_int8_scale_export_import_roundtrip():
         qz.import_scales(q2, {**d, "num_filters": [64, 128]}, (8, 16), False)
     with pytest.raises(ValueError, match="probabilistic"):
         qz.import_scales(q2, {**d, "probabilistic": True}, (8, 16), False)
-    # version-1 files (no fingerprint) still import on count alone
+    # version-1 files (no fingerprint, no up-half scales) still import on
+    # count alone; without "us" the tree is not int8-resident and runs the
+    # fused-concat decoder — bit-equal to a uxs-stripped calibrated tree,
+    # and within quantization noise of the resident path
     q3 = qz.quantize_unet(variables, (8, 16))
     qz.import_scales(q3, {"version": 1, "xs": d["xs"]}, (8, 16), False)
+    assert not qz._unet_tree_resident(q3, [8, 16])
     y3 = qz.unet_int8(q3, x, (8, 16), 3, dtype=jnp.float32)
-    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y3))
+    q_fused = qz.quantize_unet(variables, (8, 16))
+    qz.import_scales(q_fused, {k: v for k, v in d.items() if k != "us"},
+                     (8, 16), False)
+    y_fused = qz.unet_int8(q_fused, x, (8, 16), 3, dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(y3), np.asarray(y_fused))
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y3), atol=5e-3)
 
     # uncalibrated trees refuse to export
     with pytest.raises(ValueError, match="not calibrated"):
@@ -308,3 +317,67 @@ def test_int8_eval_cli(tmp_path):
     )
     assert "avg volume" in res.stdout + res.stderr
     assert (tmp_path / "predictions").is_dir()
+
+
+def test_int8_resident_forward_properties():
+    """The int8-resident forward (VERDICT r2 item 2): activates only on a
+    fully calibrated tree, keeps the ENCODER bitwise-identical to the
+    fused path (producer-epilogue requant computes the consumer's exact
+    clip/round; maxpool commutes bitwise with the monotone quantizer),
+    and changes the decoder only within quantization noise (split convs
+    quantize each concat half at its own, tighter scale)."""
+    task = make_task("unet", n_classes=3, num_filters=(8, 16, 32))
+    variables = _perturbed_variables(task)
+    x = jnp.asarray(RNG.random((4, 16, 16, 1)), jnp.float32)
+
+    q = qz.quantize_unet(variables, (8, 16, 32))
+    assert not qz._unet_tree_resident(q, [8, 16, 32])  # uncalibrated
+    qz.calibrate_unet(q, x, (8, 16, 32), 3, dtype=jnp.float32)
+    assert qz._unet_tree_resident(q, [8, 16, 32])
+    y_res = qz.unet_int8(q, x, (8, 16, 32), 3, dtype=jnp.float32)
+
+    # strip the up-half scales -> fused-concat decoder (the pre-resident
+    # program), same calibrated xs
+    import copy
+
+    q_fused = {k: (dict(v) if isinstance(v, dict) else v) for k, v in copy.deepcopy(
+        jax.tree_util.tree_map(lambda a: a, q)).items()}
+    for i in range(2):
+        q_fused[f"up{i}"] = dict(q_fused[f"up{i}"])
+        q_fused[f"up{i}"].pop("uxs", None)
+    assert not qz._unet_tree_resident(q_fused, [8, 16, 32])
+    y_fused = qz.unet_int8(q_fused, x, (8, 16, 32), 3, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(y_res), np.asarray(y_fused), atol=5e-3)
+    assert (np.asarray(y_res).argmax(-1) == np.asarray(y_fused).argmax(-1)).mean() > 0.97
+
+    # encoder bitwise equality: features at the bottleneck via a probe —
+    # compare the full apply_last_layer=False path on an encoder-only
+    # assertion is impractical here, so pin the overall f32 path instead
+    # against the float oracle within the usual PTQ tolerance
+    ref = task.net.apply(variables, x, train=False)
+    assert float(jnp.abs(y_res - ref).max()) < 0.25  # int8 PTQ ballpark
+
+
+def test_int8_resident_probunet_quality():
+    """Probunet: resident tree (unet + prior encoder) through the real
+    engine matches the non-resident calibrated forward's dice on a
+    trained model (the engine's calibration makes the tree resident
+    automatically)."""
+    store = make_synthetic_store(n=2, s=24, seed=4)
+    cfg = Config(
+        net="probunet", n_classes=3, epochs=2, batchsize=8, lr=0.05,
+        num_filters=(8, 16), latent_dim=3, save_cp=False, seed=0,
+    )
+    state, task, _ = train_net(cfg, store)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    ev_q = VolumeEvaluator(task, n_samples=2, eval_batch=24, quantize="int8")
+    r_q = ev_q.evaluate_volume(variables, store.images[1], store.labels[1],
+                               jax.random.key(2))
+    assert qz._unet_tree_resident(ev_q._qvars["unet"], [8, 16])
+    assert qz._enc_resident(ev_q._qvars["prior_enc"])
+    ev_f = VolumeEvaluator(task, n_samples=2, eval_batch=24)
+    r_f = ev_f.evaluate_volume(variables, store.images[1], store.labels[1],
+                               jax.random.key(2))
+    np.testing.assert_allclose(r_q["dice"], r_f["dice"], atol=0.03)
+    assert float(np.mean(r_q["argmax"] == r_f["argmax"])) > 0.99

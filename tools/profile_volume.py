@@ -30,6 +30,7 @@ def main():
     ap.add_argument("--filters", default="64,128,256,512,1024")
     ap.add_argument("--trace-dir", default="/tmp/pmpu_trace")
     ap.add_argument("--bf16", type=int, default=1)
+    ap.add_argument("--quantize", default="", help="'' | int8")
     args = ap.parse_args()
 
     import jax
@@ -45,13 +46,17 @@ def main():
     variables = task.init_variables(
         jax.random.key(0), jnp.zeros((2, s, s, 1), jnp.float32), jnp.zeros((2, s, s, 1), jnp.int32)
     )
-    ev = VolumeEvaluator(task, n_samples=args.samples, eval_batch=args.eval_batch)
+    ev = VolumeEvaluator(task, n_samples=args.samples, eval_batch=args.eval_batch,
+                         quantize=args.quantize or None)
     vol = rng.random((s, s, s)).astype(np.float32)
 
     r = ev.evaluate_volume(variables, vol, key=jax.random.key(0))  # compile
     _ = r["argmax"]
 
-    lowered = ev._predict.lower(variables, jnp.asarray(vol), jax.random.key(0))
+    lowered = ev._predict.lower(
+        ev._maybe_quantize(variables, sample_vol=vol),
+        jnp.asarray(vol), jax.random.key(0),
+    )
     ca = lowered.compile().cost_analysis()
     if isinstance(ca, (list, tuple)):
         ca = ca[0]
