@@ -54,13 +54,22 @@ def cross_entropy(logits: jax.Array, labels: jax.Array, class_weights=None) -> j
     Matches torch ``CrossEntropyLoss`` with no reduction (log-softmax + NLL);
     optional per-class weights (torch ``weight=`` semantics for the
     unreduced case: each pixel's loss scaled by its target class weight).
+
+    The label selection is a one-hot contraction, NOT ``take_along_axis``:
+    on TPU the per-pixel gather compiles to a kCustom gather kernel that
+    cost 27 ms/step (16%!) of the batch-128 flagship train step — and its
+    transpose is a scatter-add. The masked sum is bit-identical for
+    finite log-probs (exactly one nonzero term; the zero terms add
+    exactly), fuses into the surrounding elementwise work, and
+    differentiates as a multiply. Round-3 train trace, docs/PERF.md.
     """
     logp = jax.nn.log_softmax(logits, axis=-1)
-    ll = jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=-1)
-    ce = -ll[..., 0]
+    c = logits.shape[-1]
+    oh = jax.nn.one_hot(labels.astype(jnp.int32), c, dtype=logp.dtype)
+    ce = -jnp.sum(logp * oh, axis=-1)
     if class_weights is not None:
-        w = jnp.asarray(class_weights, ce.dtype)[labels.astype(jnp.int32)]
-        ce = ce * w
+        w_tab = jnp.asarray(class_weights, ce.dtype)
+        ce = ce * jnp.sum(oh.astype(ce.dtype) * w_tab, axis=-1)
     return ce
 
 
