@@ -486,7 +486,6 @@ def _epoch_loop(
 
         # ---------------- validation phase ----------------
         loss_sum, dice_sum = 0.0, np.zeros(max(n_classes - 1, 1))
-        logged_images = False
         if sv is not None:
             dat, _, val_batcher, per_shard = sv
             val_batches = (
@@ -514,8 +513,12 @@ def _epoch_loop(
         # all val steps dispatch first; the scalar fetches happen once at the
         # end (same deferred-sync idea as the train metrics: per-step float()
         # round-trips are expensive on tunneled links, and no val output
-        # feeds the next val step)
+        # feeds the next val step). The once-per-epoch TB image triplet is
+        # captured as device arrays on the first step and fetched AFTER the
+        # dispatch loop — a blocking np.asarray of batch-sized tensors here
+        # would stall the whole pipeline through the tunnel.
         val_pending = []
+        first_images = None
         for i in range(val_steps):
             key, sk = jax.random.split(key)
             if sv is not None:
@@ -532,15 +535,17 @@ def _epoch_loop(
                     state, imgs_b, lbls_b, _stream_rows(len(val_sels[i])), sk
                 )
             val_pending.append((vloss, dice))
-            if not logged_images:  # one image triplet per val round (train.py:156-160)
-                writer.images("images", np.asarray(img), global_step)
-                writer.images("masks/true", mask_to_image(np.asarray(msk), n_classes), global_step)
-                writer.images(
-                    "masks/pred", mask_to_image(np.asarray(preds), n_classes, prediction=True), global_step
-                )
-                logged_images = True
+            if first_images is None:  # one image triplet per val round (train.py:156-160)
+                first_images = (preds, img, msk, global_step)
             global_step += 1
             vbar.update(per_step)
+        if first_images is not None:
+            preds, img, msk, img_step = first_images
+            writer.images("images", np.asarray(img), img_step)
+            writer.images("masks/true", mask_to_image(np.asarray(msk), n_classes), img_step)
+            writer.images(
+                "masks/pred", mask_to_image(np.asarray(preds), n_classes, prediction=True), img_step
+            )
         for vloss, dice in val_pending:
             loss_sum += float(vloss)
             dice_sum += np.asarray(dice)
