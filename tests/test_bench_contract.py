@@ -48,7 +48,7 @@ def test_bench_infer_contract_and_protocol():
     # measurement protocol (VERDICT r1 items 1/8)
     assert len(rec["repeat_times_s"]) == 2
     assert rec["min_s"] <= rec["median_s"]
-    assert rec["value"] == rec["median_s"]
+    assert rec["value"] == rec["min_s"]  # headline = min-of-N (CLAUDE.md protocol)
     assert rec["flops_per_volume"] is None or rec["flops_per_volume"] > 0
     # pure device-program time via chained dispatches; sanity-bound it
     # against the slowest fetch-synced repeat with a generous factor — the
