@@ -381,3 +381,32 @@ def test_int8_resident_probunet_quality():
                                jax.random.key(2))
     np.testing.assert_allclose(r_q["dice"], r_f["dice"], atol=0.03)
     assert float(np.mean(r_q["argmax"] == r_f["argmax"])) > 0.99
+
+
+def test_int8_resident_odd_spatial_pad_to_match():
+    """Odd spatial sizes floor under maxpool (18 -> 9 -> 4), so the
+    resident decoder's transpose-conv output (4*2=8) must pad back to the
+    skip's 9 (reference Up pad-to-match, unet_parts.py:63-67) — the
+    requantized up-half is padded with EXACT zeros (int8 code 0 decodes to
+    0.0 at any scale), matching the float path's zero padding. Pin the
+    resident program against the float oracle and the fused-concat
+    program at the usual PTQ tolerances."""
+    task = make_task("unet", n_classes=3, num_filters=(4, 8, 16))
+    variables = _perturbed_variables(task)
+    x = jnp.asarray(RNG.random((2, 18, 18, 1)), jnp.float32)
+
+    q = qz.quantize_unet(variables, (4, 8, 16))
+    qz.calibrate_unet(q, x, (4, 8, 16), 3, dtype=jnp.float32)
+    assert qz._unet_tree_resident(q, [4, 8, 16])
+    y_res = qz.unet_int8(q, x, (4, 8, 16), 3, dtype=jnp.float32)
+    assert y_res.shape == (2, 18, 18, 3)
+
+    q_fused = qz.quantize_unet(variables, (4, 8, 16))
+    d = qz.export_scales(q, (4, 8, 16), probabilistic=False)
+    qz.import_scales(q_fused, {k: v for k, v in d.items() if k != "us"},
+                     (4, 8, 16), False)
+    y_fused = qz.unet_int8(q_fused, x, (4, 8, 16), 3, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(y_res), np.asarray(y_fused), atol=5e-3)
+
+    ref = task.net.apply(variables, x, train=False)
+    assert float(jnp.abs(y_res - ref).max()) < 0.25
