@@ -19,6 +19,7 @@
 #include <zlib.h>
 
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -117,8 +118,22 @@ int64_t load_volume_impl(const char* path, float* out, int64_t capacity,
   int rc = read_header(path, &hdr);
   if (rc != kOk) return -rc;
   int nd = hdr.dim[0];
-  if (nd < 3) return -kErrShape;
+  if (nd < 3 || nd > 7) return -kErrShape;
   int64_t nx = hdr.dim[1], ny = hdr.dim[2], nz = hdr.dim[3];
+  // Each dim must be individually positive: two negative int16 dims multiply
+  // to a positive voxel count that passes the capacity check while the
+  // transpose loops below never execute — a corrupt header would "load"
+  // an uninitialized buffer. Reject before computing the product.
+  if (nx < 1 || ny < 1 || nz < 1) return -kErrShape;
+  // Trailing dims > 1 mean a 4D+ file; loading only the first 3D frame here
+  // would silently diverge from the Python codec (which returns the full
+  // array) — reject so callers fall back to the Python path.
+  for (int d = 4; d <= nd; ++d)
+    if (hdr.dim[d] > 1) return -kErrShape;
+  // vox_offset: NaN would be UB when cast to z_off_t; < header size would
+  // re-read header bytes as voxel data. Spec minimum for .nii is 348.
+  if (!std::isfinite(hdr.vox_offset) || hdr.vox_offset < kHdrSize)
+    return -kErrHeader;
   int64_t n = nx * ny * nz;
   if (n <= 0 || n > capacity) return -kErrCapacity;
   int esz = dtype_size(hdr.datatype);

@@ -96,8 +96,13 @@ def read_shape(path: str) -> tuple:
     rc = lib.pmpu_read_header(path.encode(), dims, ctypes.byref(dt), scl, ctypes.byref(off))
     if rc != 0:
         raise ValueError(f"{path}: native header error {rc}")
-    nd = dims[0]
-    return tuple(int(dims[1 + i]) for i in range(nd))
+    nd = int(dims[0])
+    if not (1 <= nd <= 7):
+        raise ValueError(f"{path}: bad NIfTI dim[0]={nd}")
+    shape = tuple(int(dims[1 + i]) for i in range(nd))
+    if any(d < 1 for d in shape):
+        raise ValueError(f"{path}: non-positive dimension in {shape}")
+    return shape
 
 
 def load_volume(path: str) -> np.ndarray:

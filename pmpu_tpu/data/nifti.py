@@ -139,6 +139,19 @@ def read_header(path) -> NiftiHeader:
     magic = raw[344:348]
     if magic not in (b"n+1\x00", b"ni1\x00"):
         raise ValueError(f"{path}: bad NIfTI magic {magic!r}")
+    # Structural validation: corrupt headers must fail HERE, not downstream.
+    # Negative dims would otherwise reach np.prod as a negative count (and a
+    # pair of them multiplies back to a positive one); a NaN / sub-header
+    # vox_offset would re-read header bytes as voxel data.
+    nd = int(dim[0])
+    if not (1 <= nd <= 7):
+        raise ValueError(f"{path}: bad NIfTI dim[0]={nd}")
+    if any(int(d) < 1 for d in dim[1 : 1 + nd]):
+        raise ValueError(
+            f"{path}: non-positive dimension in {tuple(dim[1 : 1 + nd])}"
+        )
+    if not np.isfinite(vox_offset) or vox_offset < HDR_SIZE:
+        raise ValueError(f"{path}: bad vox_offset {vox_offset}")
     return NiftiHeader(
         endian=endian,
         dim=dim,

@@ -174,22 +174,52 @@ def _serve_loop(args, cfg, task, variables, ev, cube, seen, sizes, key,
         else:
             ready = _stable_new_files(args.watch, seen, sizes)
         if ready:
+            # Header preflight: corrupt and oversized files are rejected from
+            # the 348-byte header alone — no gzip decompression of volume
+            # data we'd throw away (an adversarial or fat-fingered upload to
+            # the watch dir must not cost a full-volume decompress per poll).
+            accepted = []
+            for n in ready:
+                try:
+                    shape = nifti.read_header(os.path.join(args.watch, n)).shape
+                except Exception as e:
+                    # retry covers a still-flushing upload the size check
+                    # missed; a file that fails repeatedly is corrupt —
+                    # quarantine it so it isn't re-inspected every poll
+                    fails[n] = fails.get(n, 0) + 1
+                    if fails[n] >= 3:
+                        logging.error("quarantining %s after %d failed loads: %s",
+                                      n, fails[n], e)
+                        seen.add(n)
+                    else:
+                        logging.warning("skipping %s (attempt %d): %s", n, fails[n], e)
+                    continue
+                if cube == 0:
+                    cube = int(max(shape))
+                    logging.info("program cube fixed at %d from %s", cube, n)
+                if max(shape) > cube:
+                    logging.error("%s exceeds cube %d; rejected", n, cube)
+                    fails[n] = fails.get(n, 0) + 1
+                    seen.add(n)
+                    continue
+                accepted.append(n)
             # parallel loads: gzip decompression and disk reads of a batch
             # of incoming volumes overlap (the writes are async already)
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=min(8, len(ready))) as pool:
-                loaded = list(
-                    pool.map(
-                        lambda n: _try_load(os.path.join(args.watch, n)), ready
+            loaded = []
+            if accepted:
+                with ThreadPoolExecutor(max_workers=min(8, len(accepted))) as pool:
+                    loaded = list(
+                        pool.map(
+                            lambda n: _try_load(os.path.join(args.watch, n)), accepted
+                        )
                     )
-                )
             vols, names = [], []
-            for n, v in zip(ready, loaded):
+            for n, v in zip(accepted, loaded):
                 if isinstance(v, Exception):
-                    # retry covers a still-flushing upload the size check
-                    # missed; a file that fails repeatedly is corrupt —
-                    # quarantine it so it isn't re-decompressed every poll
+                    # data-section failures (truncated payload) get the same
+                    # retry/quarantine treatment as header failures
                     fails[n] = fails.get(n, 0) + 1
                     if fails[n] >= 3:
                         logging.error("quarantining %s after %d failed loads: %s",
@@ -197,13 +227,6 @@ def _serve_loop(args, cfg, task, variables, ev, cube, seen, sizes, key,
                         seen.add(n)
                     else:
                         logging.warning("skipping %s (attempt %d): %s", n, fails[n], v)
-                    continue
-                if cube == 0:
-                    cube = int(max(v.shape))
-                    logging.info("program cube fixed at %d from %s", cube, n)
-                if max(v.shape) > cube:
-                    logging.error("%s exceeds cube %d; rejected", n, cube)
-                    seen.add(n)
                     continue
                 vols.append(pad_to_cube(v, cube))
                 names.append(n)

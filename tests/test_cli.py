@@ -170,6 +170,40 @@ def test_cli_serve_once_matches_batch_predict(tmp_path):
         assert np.isfinite(nifti.load(tmp_path / "served_unc" / f"image{i}.nii")).all()
 
 
+def test_cli_serve_once_rejects_corrupt_and_oversized(tmp_path):
+    """Corrupt and oversized uploads must be rejected at the header preflight
+    (no full decompression), the good volume still served, and --once exit
+    non-zero so batch callers detect partial results."""
+    import struct
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    rng = np.random.default_rng(7)
+    nifti.save(watch / "good.nii", rng.random((16, 16, 16)).astype(np.float32))
+    nifti.save(watch / "big.nii", rng.random((24, 24, 24)).astype(np.float32))
+    corrupt = watch / "corrupt.nii"
+    nifti.save(corrupt, rng.random((16, 16, 16)).astype(np.float32))
+    raw = bytearray(corrupt.read_bytes())
+    struct.pack_into("<8h", raw, 40, 3, -16, -16, 16, 1, 1, 1, 1)
+    corrupt.write_bytes(bytes(raw))
+
+    env = dict(os.environ)
+    env["PMPU_FORCE_CPU"] = "1"
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "serve.py"), "-m", "unet",
+         "--num-filters", "4,8", "--watch", str(watch),
+         "--out", str(tmp_path / "out"), "--cube", "16", "--once"],
+        cwd=tmp_path, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert res.returncode == 1, res.stderr  # partial results → non-zero
+    log = res.stderr + res.stdout
+    assert "exceeds cube 16" in log and "big.nii" in log
+    assert "corrupt.nii" in log
+    assert (tmp_path / "out" / "good.nii").exists()
+    assert not (tmp_path / "out" / "big.nii").exists()
+    assert not (tmp_path / "out" / "corrupt.nii").exists()
+
+
 @pytest.mark.slow
 def test_cli_train_unet_binary(tmp_path):
     make_dataset(tmp_path / "data")

@@ -116,6 +116,52 @@ def test_nifti_rejects_garbage(tmp_path):
         nifti.read_header(p)
 
 
+def _corrupt_field(tmp_path, name, fmt, offset, *values):
+    """A structurally valid .nii with one header field overwritten."""
+    import struct
+
+    p = tmp_path / f"{name}.nii"
+    nifti.save(p, np.arange(24, dtype=np.float32).reshape(2, 3, 4))
+    raw = bytearray(p.read_bytes())
+    struct.pack_into(fmt, raw, offset, *values)
+    p.write_bytes(bytes(raw))
+    return p
+
+
+def test_nifti_rejects_negative_dims(tmp_path):
+    # two negative dims multiply back to a positive voxel count — must fail
+    # at the header, not produce a garbage volume downstream
+    p = _corrupt_field(tmp_path, "negdim", "<8h", 40, 3, -2, -3, 4, 1, 1, 1, 1)
+    with pytest.raises(ValueError, match="non-positive"):
+        nifti.read_header(p)
+    with pytest.raises(ValueError):
+        nifti.load(p)
+
+
+def test_nifti_rejects_bad_ndim(tmp_path):
+    for nd in (0, 8, -1):
+        p = _corrupt_field(tmp_path, f"nd{nd}", "<h", 40, nd)
+        with pytest.raises(ValueError, match="dim\\[0\\]"):
+            nifti.read_header(p)
+
+
+def test_nifti_rejects_bad_vox_offset(tmp_path):
+    # NaN and sub-header offsets would re-read header bytes as voxel data
+    for name, off in (("nan", float("nan")), ("zero", 0.0), ("neg", -352.0)):
+        p = _corrupt_field(tmp_path, f"voff_{name}", "<f", 108, off)
+        with pytest.raises(ValueError, match="vox_offset"):
+            nifti.read_header(p)
+
+
+def test_nifti_rejects_truncated_data(tmp_path):
+    p = tmp_path / "trunc.nii"
+    nifti.save(p, np.arange(60, dtype=np.float32).reshape(3, 4, 5))
+    raw = p.read_bytes()
+    p.write_bytes(raw[: len(raw) - 40])  # chop the tail of the data section
+    with pytest.raises(ValueError, match="truncated"):
+        nifti.load(p)
+
+
 def test_async_writer_matches_sync(tmp_path):
     vols = [(RNG.random((6, 5, 4)) * 50).astype(np.float32) for _ in range(5)]
     with nifti.AsyncWriter(max_pending=2) as w:

@@ -66,6 +66,52 @@ def test_native_error_on_garbage(tmp_path):
         native.load_volume(str(p))
 
 
+def _corrupt_field(tmp_path, name, fmt, offset, *values):
+    import struct
+
+    p = tmp_path / f"{name}.nii"
+    nifti.save(p, np.arange(24, dtype=np.float32).reshape(2, 3, 4))
+    raw = bytearray(p.read_bytes())
+    struct.pack_into(fmt, raw, offset, *values)
+    p.write_bytes(bytes(raw))
+    return str(p)
+
+
+def test_native_rejects_negative_dims(tmp_path):
+    """Two negative int16 dims multiply to a positive voxel count that used
+    to pass the capacity check while the transpose loops never ran — the
+    loader must error, not 'succeed' with an uninitialized buffer."""
+    p = _corrupt_field(tmp_path, "negdim", "<8h", 40, 3, -2, -3, 4, 1, 1, 1, 1)
+    with pytest.raises(ValueError):
+        native.load_volume(p)
+    # the stacked dataset loader hits the same validation
+    with pytest.raises(ValueError):
+        native.load_dataset([p], cube=8)
+
+
+def test_native_rejects_bad_vox_offset(tmp_path):
+    # NaN vox_offset is UB when cast to the seek offset; sub-header offsets
+    # would re-read header bytes as voxel data
+    for name, off in (("nan", float("nan")), ("zero", 0.0)):
+        p = _corrupt_field(tmp_path, f"voff_{name}", "<f", 108, off)
+        with pytest.raises(ValueError):
+            native.load_volume(p)
+
+
+def test_native_rejects_4d(tmp_path):
+    """A 4D file must be rejected (→ Python fallback), not silently loaded
+    as its first 3D frame — the Python codec returns the full 4D array."""
+    import struct
+
+    data = np.arange(48, dtype=np.float32).reshape(2, 3, 4, 2)
+    p = tmp_path / "v4d.nii"
+    nifti.save(p, data)
+    assert struct.unpack("<h", p.read_bytes()[40:42])[0] == 4
+    with pytest.raises(ValueError):
+        native.load_volume(str(p))
+    assert nifti.load(p).shape == (2, 3, 4, 2)  # Python path handles it
+
+
 def test_native_store_rejects_shape_mismatch(tmp_path):
     """The native path must enforce the same image-vs-label shape guard as
     the Python path — padding a mismatched pair to a common cube would
