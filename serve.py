@@ -156,8 +156,15 @@ def main() -> int:
     # re-raises the first write error without masking an in-flight exception
     with nifti.AsyncWriter() as writer:
         logging.info("serving %s → %s (poll %.1fs)", args.watch, args.out, args.poll)
-        rc = _serve_loop(args, cfg, task, variables, ev, cube, seen, sizes, key,
-                        served, writer)
+        try:
+            rc = _serve_loop(args, cfg, task, variables, ev, cube, seen, sizes,
+                             key, served, writer)
+        except KeyboardInterrupt:
+            # graceful daemon shutdown: the AsyncWriter context drains
+            # pending exports on exit, so everything already segmented
+            # reaches disk before the process ends
+            logging.info("interrupted — draining pending exports and exiting")
+            rc = 0
     return rc or 0
 
 
@@ -167,11 +174,43 @@ def _serve_loop(args, cfg, task, variables, ev, cube, seen, sizes, key,
     import jax.numpy as jnp
 
     fails: dict = {}  # name → failed-load count (quarantine at 3)
+    quarantined: dict = {}  # name → size when quarantined
+
+    def _fail(n, e):
+        # retry covers a still-flushing upload the size check missed; a file
+        # that fails repeatedly is corrupt (or stalled) — quarantine it so
+        # it isn't re-inspected every poll
+        fails[n] = fails.get(n, 0) + 1
+        if fails[n] >= 3:
+            logging.error("quarantining %s after %d failed loads: %s",
+                          n, fails[n], e)
+            seen.add(n)
+            try:
+                quarantined[n] = os.path.getsize(os.path.join(args.watch, n))
+            except OSError:
+                pass
+        else:
+            logging.warning("skipping %s (attempt %d): %s", n, fails[n], e)
+
     while True:
         if args.once:  # single scan: everything already on disk is "stable"
             ready = [n for n in sorted(filter(nifti.is_nifti_name, os.listdir(args.watch)))
                      if n not in seen]
         else:
+            # self-healing quarantine: a stalled upload that drew 3 failed
+            # loads is retried once its size changes (the upload resumed) —
+            # without this, a slow writer's file would need a delete +
+            # re-upload to ever be picked up again
+            for n, qsz in list(quarantined.items()):
+                try:
+                    sz = os.path.getsize(os.path.join(args.watch, n))
+                except OSError:
+                    continue  # vanished; _stable_new_files forgets it
+                if sz != qsz:
+                    logging.info("%s grew after quarantine; re-inspecting", n)
+                    del quarantined[n]
+                    fails.pop(n, None)
+                    seen.discard(n)
             ready = _stable_new_files(args.watch, seen, sizes)
         if ready:
             # Header preflight: corrupt and oversized files are rejected from
@@ -183,16 +222,7 @@ def _serve_loop(args, cfg, task, variables, ev, cube, seen, sizes, key,
                 try:
                     shape = nifti.read_header(os.path.join(args.watch, n)).shape
                 except Exception as e:
-                    # retry covers a still-flushing upload the size check
-                    # missed; a file that fails repeatedly is corrupt —
-                    # quarantine it so it isn't re-inspected every poll
-                    fails[n] = fails.get(n, 0) + 1
-                    if fails[n] >= 3:
-                        logging.error("quarantining %s after %d failed loads: %s",
-                                      n, fails[n], e)
-                        seen.add(n)
-                    else:
-                        logging.warning("skipping %s (attempt %d): %s", n, fails[n], e)
+                    _fail(n, e)
                     continue
                 if cube == 0:
                     cube = int(max(shape))
@@ -220,13 +250,7 @@ def _serve_loop(args, cfg, task, variables, ev, cube, seen, sizes, key,
                 if isinstance(v, Exception):
                     # data-section failures (truncated payload) get the same
                     # retry/quarantine treatment as header failures
-                    fails[n] = fails.get(n, 0) + 1
-                    if fails[n] >= 3:
-                        logging.error("quarantining %s after %d failed loads: %s",
-                                      n, fails[n], v)
-                        seen.add(n)
-                    else:
-                        logging.warning("skipping %s (attempt %d): %s", n, fails[n], v)
+                    _fail(n, v)
                     continue
                 vols.append(pad_to_cube(v, cube))
                 names.append(n)

@@ -204,6 +204,75 @@ def test_cli_serve_once_rejects_corrupt_and_oversized(tmp_path):
     assert not (tmp_path / "out" / "corrupt.nii").exists()
 
 
+def _wait_for_nifti(path, timeout):
+    """Wait until `path` exists AND loads cleanly (the async writer may be
+    mid-write when the file first appears)."""
+    import time
+
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        if os.path.exists(path):
+            try:
+                return nifti.load(path)
+            except Exception:
+                pass
+        time.sleep(0.25)
+    raise AssertionError(f"timed out waiting for {path}")
+
+
+@pytest.mark.slow
+def test_cli_serve_watch_mode_steady_state(tmp_path):
+    """The steady-state watch loop (not --once): volumes dropped after
+    startup are picked up; a chunked upload is left alone while partial
+    (size-stability gate) and served once complete — even if the stall drew
+    enough failed loads to quarantine it (self-healing on size change);
+    SIGINT drains pending exports and exits 0."""
+    import signal
+    import time
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    out = tmp_path / "out"
+    rng = np.random.default_rng(3)
+    env = dict(os.environ)
+    env["PMPU_FORCE_CPU"] = "1"
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "serve.py"), "-m", "unet",
+         "--num-filters", "4,8", "--watch", str(watch), "--out", str(out),
+         "--cube", "16", "--poll", "0.2"],
+        cwd=tmp_path, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        vol = rng.random((16, 16, 16)).astype(np.float32)
+        nifti.save(watch / "v0.nii", vol)
+        seg0 = _wait_for_nifti(out / "v0.nii", 300)
+        assert seg0.shape == (16, 16, 16)
+
+        # chunked upload: a partial prefix sits on disk across several polls
+        # (drawing failed-load retries and possibly quarantine), then the
+        # rest arrives — the size change must trigger a successful re-read
+        nifti.save(tmp_path / "_v1.nii", rng.random((16, 16, 16)).astype(np.float32))
+        blob = (tmp_path / "_v1.nii").read_bytes()
+        with open(watch / "v1.nii", "wb") as f:
+            f.write(blob[:400])
+            f.flush()
+            time.sleep(1.5)  # ≥3 failed loads at poll 0.2 → quarantined
+            f.write(blob[400:])
+        seg1 = _wait_for_nifti(out / "v1.nii", 120)
+        assert seg1.shape == (16, 16, 16)
+
+        proc.send_signal(signal.SIGINT)
+        rc = proc.wait(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    log = proc.stdout.read()
+    assert rc == 0, log
+    assert "interrupted" in log
+    assert "served" in log
+
+
 @pytest.mark.slow
 def test_cli_train_unet_binary(tmp_path):
     make_dataset(tmp_path / "data")
