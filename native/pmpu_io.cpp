@@ -67,8 +67,15 @@ int read_header(const char* path, NiftiHeader* hdr) {
   gzclose(f);
   if (n != kHdrSize) return kErrHeader;
   if (hdr->sizeof_hdr != kHdrSize) return kErrHeader;  // (big-endian unsupported)
-  if (std::memcmp(hdr->magic, "n+1", 3) != 0 && std::memcmp(hdr->magic, "ni1", 3) != 0)
+  // full 4-byte magic incl. the trailing NUL — same strictness as the
+  // Python codec (a corrupt 348th byte must not be silently accepted)
+  if (std::memcmp(hdr->magic, "n+1\0", 4) != 0 &&
+      std::memcmp(hdr->magic, "ni1\0", 4) != 0)
     return kErrMagic;
+  // vox_offset: NaN is UB when cast to an integer/seek offset; < header
+  // size would re-read header bytes as voxel data. Spec minimum is 348.
+  if (!std::isfinite(hdr->vox_offset) || hdr->vox_offset < kHdrSize)
+    return kErrHeader;
   return kOk;
 }
 
@@ -130,10 +137,6 @@ int64_t load_volume_impl(const char* path, float* out, int64_t capacity,
   // array) — reject so callers fall back to the Python path.
   for (int d = 4; d <= nd; ++d)
     if (hdr.dim[d] > 1) return -kErrShape;
-  // vox_offset: NaN would be UB when cast to z_off_t; < header size would
-  // re-read header bytes as voxel data. Spec minimum for .nii is 348.
-  if (!std::isfinite(hdr.vox_offset) || hdr.vox_offset < kHdrSize)
-    return -kErrHeader;
   int64_t n = nx * ny * nz;
   if (n <= 0 || n > capacity) return -kErrCapacity;
   int esz = dtype_size(hdr.datatype);
@@ -159,8 +162,16 @@ int64_t load_volume_impl(const char* path, float* out, int64_t capacity,
 
   // Fortran linear order: index = x + nx*(y + ny*z). Convert to f32 in
   // Fortran order first, then transpose to C order into `out`.
+  // Non-finite scl fields mean "scaling unset" (nibabel get_fdata
+  // semantics, mirrored by the Python codec): never multiply a NaN/inf
+  // into the volume. convert() already treats slope==0 as unset.
+  float slope = hdr.scl_slope, inter = hdr.scl_inter;
+  if (!std::isfinite(slope) || !std::isfinite(inter)) {
+    slope = 0.0f;
+    inter = 0.0f;
+  }
   std::vector<float> fbuf(static_cast<size_t>(n));
-  rc = convert_any(hdr.datatype, raw.data(), fbuf.data(), n, hdr.scl_slope, hdr.scl_inter);
+  rc = convert_any(hdr.datatype, raw.data(), fbuf.data(), n, slope, inter);
   if (rc != kOk) return -rc;
   for (int64_t x = 0; x < nx; ++x)
     for (int64_t y = 0; y < ny; ++y) {

@@ -85,7 +85,12 @@ def available() -> bool:
     return get_lib() is not None
 
 
-def read_shape(path: str) -> tuple:
+_DTYPE_BYTES = {2: 1, 256: 1, 4: 2, 512: 2, 8: 4, 768: 4, 16: 4,
+                64: 8, 1024: 8, 1280: 8}
+
+
+def _read_header(path: str) -> tuple:
+    """(shape, datatype, vox_offset) with structural validation."""
     lib = get_lib()
     if lib is None:
         raise RuntimeError("native io unavailable")
@@ -102,7 +107,48 @@ def read_shape(path: str) -> tuple:
     shape = tuple(int(dims[1 + i]) for i in range(nd))
     if any(d < 1 for d in shape):
         raise ValueError(f"{path}: non-positive dimension in {shape}")
-    return shape
+    return shape, int(dt.value), int(off.value)
+
+
+def read_shape(path: str) -> tuple:
+    return _read_header(path)[0]
+
+
+def _preflight_payload(path: str, count: int, esz: int, vox_offset: int) -> None:
+    """Reject implausible header-claimed sizes BEFORE allocating the output
+    buffer — a corrupt header with huge positive dims must raise a clean
+    ValueError, not attempt a multi-TB np.empty. Plain files are checked
+    exactly against the file size; gzip members against the trailing ISIZE
+    field (decompressed size mod 2^32 — exact for payloads < 4 GB, which is
+    every claim we can't otherwise verify)."""
+    claimed = vox_offset + count * esz
+    try:
+        fsize = os.path.getsize(path)
+    except OSError as e:
+        raise ValueError(f"{path}: {e}") from e
+    if not path.endswith(".gz"):
+        if claimed > fsize:
+            raise ValueError(
+                f"{path}: header claims {claimed} bytes but file has {fsize}"
+            )
+        return
+    if claimed < (1 << 32):
+        with open(path, "rb") as f:
+            f.seek(-4, os.SEEK_END)
+            isize = int.from_bytes(f.read(4), "little")
+        if claimed > isize:
+            raise ValueError(
+                f"{path}: header claims {claimed} bytes but gzip "
+                f"decompresses to {isize}"
+            )
+    elif claimed > fsize * 1032 + (1 << 16):
+        # ISIZE wraps mod 2^32, so ≥4 GB claims are checked against
+        # deflate's maximum expansion ratio (1032:1) instead — a 98 TiB
+        # claim from a 500-byte file is impossible, not just unlikely
+        raise ValueError(
+            f"{path}: header claims {claimed} bytes from a "
+            f"{fsize}-byte gzip (exceeds max deflate expansion)"
+        )
 
 
 def load_volume(path: str) -> np.ndarray:
@@ -111,8 +157,13 @@ def load_volume(path: str) -> np.ndarray:
     lib = get_lib()
     if lib is None:
         raise RuntimeError("native io unavailable")
-    shape = read_shape(path)[:3]
+    full_shape, datatype, vox_offset = _read_header(path)
+    shape = full_shape[:3]
     n = int(np.prod(shape))
+    esz = _DTYPE_BYTES.get(datatype)
+    if esz is None:
+        raise ValueError(f"{path}: unsupported NIfTI datatype {datatype}")
+    _preflight_payload(path, int(np.prod(full_shape)), esz, vox_offset)
     out = np.empty(n, dtype=np.float32)
     sh = (ctypes.c_int64 * 3)()
     rc = lib.pmpu_load_volume_f32(

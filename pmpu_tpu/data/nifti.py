@@ -182,8 +182,14 @@ def load(path, dtype=np.float32) -> np.ndarray:
     shape = hdr.shape
     count = int(np.prod(shape))
     with _open(path) as f:
-        f.seek(int(hdr.vox_offset))
-        buf = f.read(count * np_dtype.itemsize)
+        try:
+            # a corrupt-but-finite vox_offset (e.g. 3.9e14) can make the
+            # seek itself fail at the OS level; that's file corruption, so
+            # surface it under the codec's ValueError contract
+            f.seek(int(hdr.vox_offset))
+            buf = f.read(count * np_dtype.itemsize)
+        except (OSError, OverflowError) as e:
+            raise ValueError(f"{path}: unreadable data section ({e})") from e
     if len(buf) < count * np_dtype.itemsize:
         raise ValueError(f"{path}: truncated data section")
     arr = np.frombuffer(buf, dtype=np_dtype, count=count)

@@ -153,6 +153,61 @@ def test_nifti_rejects_bad_vox_offset(tmp_path):
             nifti.read_header(p)
 
 
+def test_nifti_header_fuzz_reject_or_load_correctly(tmp_path):
+    """Deterministic header fuzz: flip random bytes/fields in a valid
+    header; every mutant must either raise ValueError cleanly or load —
+    and when it loads, the payload bytes haven't changed, so a successful
+    load must never hang, crash, or allocate absurdly. The native loader
+    must never be WEAKER than the Python codec: anything Python rejects,
+    native rejects too (native may reject more — it falls back)."""
+    import struct
+
+    from pmpu_tpu.data import native
+
+    base = tmp_path / "base.nii"
+    data = np.arange(60, dtype=np.float32).reshape(3, 4, 5)
+    nifti.save(base, data)
+    raw = bytearray(base.read_bytes())
+    rng = np.random.default_rng(11)
+    has_native = native.available()
+
+    for trial in range(300):
+        mut = bytearray(raw)
+        kind = trial % 3
+        if kind == 0:  # random byte flips anywhere in the header
+            for _ in range(rng.integers(1, 4)):
+                off = int(rng.integers(0, HDR := 348))
+                mut[off] = int(rng.integers(0, 256))
+        elif kind == 1:  # adversarial dim values (incl. extreme int16)
+            dims = [3] + [int(rng.integers(-32768, 32767)) for _ in range(3)] + [1] * 4
+            struct.pack_into("<8h", mut, 40, *dims)
+        else:  # adversarial vox_offset / datatype / bitpix
+            struct.pack_into("<f", mut, 108, float(rng.choice(
+                [0.0, -1.0, 1e30, -1e30, float("nan"), float("inf"), 352.0, 347.9])))
+            struct.pack_into("<h", mut, 70, int(rng.integers(-2, 3000)))
+        p = tmp_path / "fuzz.nii"
+        p.write_bytes(bytes(mut))
+        try:
+            out = nifti.load(p)
+        except (ValueError, OverflowError, MemoryError):
+            out = None
+        if out is not None:
+            assert isinstance(out, np.ndarray) and out.size > 0
+        if has_native:
+            try:
+                nout = native.load_volume(str(p))
+            except ValueError:
+                nout = None
+            if nout is not None:
+                # native accepted → Python must have accepted the same file
+                # with the same voxels (modulo dtype of the scl path)
+                assert out is not None, "native accepted what Python rejects"
+                if out.ndim == nout.ndim:
+                    np.testing.assert_allclose(
+                        nout, out.astype(np.float32), rtol=1e-5, atol=1e-5
+                    )
+
+
 def test_nifti_rejects_truncated_data(tmp_path):
     p = tmp_path / "trunc.nii"
     nifti.save(p, np.arange(60, dtype=np.float32).reshape(3, 4, 5))

@@ -98,6 +98,31 @@ def test_native_rejects_bad_vox_offset(tmp_path):
             native.load_volume(p)
 
 
+def test_native_rejects_implausible_claimed_size(tmp_path):
+    """A corrupt header claiming huge-but-positive dims must raise a clean
+    ValueError from the payload preflight, not attempt a multi-TB
+    allocation. Covered for both plain (file-size check) and gzip
+    (trailing ISIZE check) containers."""
+    import struct
+
+    for suffix in (".nii", ".nii.gz"):
+        p = tmp_path / f"huge{suffix}"
+        nifti.save(p, np.arange(24, dtype=np.float32).reshape(2, 3, 4))
+        if suffix.endswith(".gz"):
+            import gzip
+
+            body = bytearray(gzip.open(p).read())
+            struct.pack_into("<8h", body, 40, 3, 30000, 30000, 30000, 1, 1, 1, 1)
+            with gzip.open(p, "wb") as f:
+                f.write(bytes(body))
+        else:
+            raw = bytearray(p.read_bytes())
+            struct.pack_into("<8h", raw, 40, 3, 30000, 30000, 30000, 1, 1, 1, 1)
+            p.write_bytes(bytes(raw))
+        with pytest.raises(ValueError, match="claims"):
+            native.load_volume(str(p))
+
+
 def test_native_rejects_4d(tmp_path):
     """A 4D file must be rejected (→ Python fallback), not silently loaded
     as its first 3D frame — the Python codec returns the full 4D array."""
