@@ -68,9 +68,11 @@ int read_header(const char* path, NiftiHeader* hdr) {
   if (n != kHdrSize) return kErrHeader;
   if (hdr->sizeof_hdr != kHdrSize) return kErrHeader;  // (big-endian unsupported)
   // full 4-byte magic incl. the trailing NUL — same strictness as the
-  // Python codec (a corrupt 348th byte must not be silently accepted)
-  if (std::memcmp(hdr->magic, "n+1\0", 4) != 0 &&
-      std::memcmp(hdr->magic, "ni1\0", 4) != 0)
+  // Python codec (a corrupt 348th byte must not be silently accepted).
+  // "ni1" pair files are rejected too: their data lives in a sibling
+  // .img with vox_offset=0, which this single-file loader cannot read
+  // (and the vox_offset >= 348 floor below would reject them anyway).
+  if (std::memcmp(hdr->magic, "n+1\0", 4) != 0)
     return kErrMagic;
   // vox_offset: NaN is UB when cast to an integer/seek offset; < header
   // size would re-read header bytes as voxel data. Spec minimum is 348.

@@ -114,6 +114,42 @@ def read_shape(path: str) -> tuple:
     return _read_header(path)[0]
 
 
+def _gz_yields_at_least(path: str, want: int) -> bool:
+    """True iff the (possibly multi-member) gzip stream decompresses to at
+    least ``want`` bytes. Streaming count only — nothing is stored, and the
+    scan stops the moment ``want`` is reached, so cost is bounded by the
+    claim (which the max-expansion check has already capped)."""
+    import zlib
+
+    seen = 0
+    d = zlib.decompressobj(wbits=31)  # 31 = gzip wrapper
+    try:
+        with open(path, "rb") as f:
+            buf = b""
+            while True:
+                if not buf:
+                    buf = f.read(1 << 20)
+                    if not buf:
+                        return False  # input exhausted before `want`
+                seen += len(d.decompress(buf, 1 << 20))
+                if seen >= want:
+                    return True
+                if d.eof:
+                    # member boundary — a following gzip member continues
+                    # the logical stream (zlib's gzread concatenates them
+                    # the same way); anything else ends it
+                    buf = d.unused_data
+                    if len(buf) < 2:
+                        buf += f.read(1 << 20)
+                    if not buf.startswith(b"\x1f\x8b"):
+                        return False
+                    d = zlib.decompressobj(wbits=31)
+                else:
+                    buf = d.unconsumed_tail
+    except zlib.error:
+        return False
+
+
 def _preflight_payload(path: str, count: int, esz: int, vox_offset: int) -> None:
     """Reject implausible header-claimed sizes BEFORE allocating the output
     buffer — a corrupt header with huge positive dims must raise a clean
@@ -132,23 +168,29 @@ def _preflight_payload(path: str, count: int, esz: int, vox_offset: int) -> None
                 f"{path}: header claims {claimed} bytes but file has {fsize}"
             )
         return
-    if claimed < (1 << 32):
-        with open(path, "rb") as f:
-            f.seek(-4, os.SEEK_END)
-            isize = int.from_bytes(f.read(4), "little")
-        if claimed > isize:
-            raise ValueError(
-                f"{path}: header claims {claimed} bytes but gzip "
-                f"decompresses to {isize}"
-            )
-    elif claimed > fsize * 1032 + (1 << 16):
-        # ISIZE wraps mod 2^32, so ≥4 GB claims are checked against
-        # deflate's maximum expansion ratio (1032:1) instead — a 98 TiB
-        # claim from a 500-byte file is impossible, not just unlikely
+    if claimed > fsize * 1032 + (1 << 16):
+        # deflate's maximum expansion ratio is 1032:1 — a 98 TiB claim
+        # from a 500-byte file is impossible, not just unlikely. This
+        # bound alone already forbids the multi-TB np.empty.
         raise ValueError(
             f"{path}: header claims {claimed} bytes from a "
             f"{fsize}-byte gzip (exceeds max deflate expansion)"
         )
+    if claimed < (1 << 32):
+        with open(path, "rb") as f:
+            f.seek(-4, os.SEEK_END)
+            isize = int.from_bytes(f.read(4), "little")
+        if claimed > isize and not _gz_yields_at_least(path, claimed):
+            # ISIZE is the LAST member's decompressed size, so a mismatch
+            # is not proof of corruption: multi-member gzips (bgzip,
+            # concatenated files per RFC 1952) are valid and gzread loads
+            # them transparently. Only when an exact bounded streaming
+            # count (rare path — single-member files settle on ISIZE
+            # alone) confirms the shortfall do we reject.
+            raise ValueError(
+                f"{path}: header claims {claimed} bytes but gzip "
+                f"decompresses to {isize}"
+            )
 
 
 def load_volume(path: str) -> np.ndarray:

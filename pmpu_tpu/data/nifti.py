@@ -137,7 +137,16 @@ def read_header(path) -> NiftiHeader:
         dtype=np.float32,
     )
     magic = raw[344:348]
-    if magic not in (b"n+1\x00", b"ni1\x00"):
+    if magic == b"ni1\x00":
+        # NIfTI-1 PAIR files ("ni1", data in a sibling .img with
+        # vox_offset=0) are not supported by this single-file codec —
+        # reject explicitly rather than via a misleading vox_offset error
+        # (the >=348 floor below would make every conforming pair fail).
+        raise ValueError(
+            f"{path}: NIfTI-1 pair (.hdr/.img) files are unsupported; "
+            "convert to single-file .nii/.nii.gz"
+        )
+    if magic != b"n+1\x00":
         raise ValueError(f"{path}: bad NIfTI magic {magic!r}")
     # Structural validation: corrupt headers must fail HERE, not downstream.
     # Negative dims would otherwise reach np.prod as a negative count (and a

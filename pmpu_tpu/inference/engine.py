@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import logging
 import os
+import warnings
 from typing import Optional
 
 import jax
@@ -79,7 +80,12 @@ def device_hbm_limit() -> Optional[int]:
     (TPU/GPU); None when unknown (CPU) — the guard is then skipped."""
     env = os.environ.get("PMPU_HBM_BYTES")
     if env:
-        return int(env)
+        try:
+            return int(float(env))  # accepts "15e9" too
+        except ValueError:
+            # guard is best-effort by design (backend probe below is wrapped
+            # the same way) — a malformed override must not abort the eval
+            warnings.warn(f"ignoring malformed PMPU_HBM_BYTES={env!r}")
     try:
         stats = jax.devices()[0].memory_stats()
         return int(stats["bytes_limit"]) if stats else None

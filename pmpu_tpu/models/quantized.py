@@ -174,7 +174,17 @@ def unet_int8(q, x, num_filters, n_classes, apply_last_layer=True, dtype=jnp.bfl
             xs[-1], jnp.asarray(-jnp.inf, xs[-1].dtype), jax.lax.max,
             (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
         )
+        mark = None if collect is None else len(collect)
         xs.append(_qdouble(h, q[f"down{i}"], act_dtype=dtype, collect=collect))
+        if mark is not None:
+            # down{i} conv0's xs doubles as the RESIDENT path's skip-edge
+            # scale, where it quantizes the PRE-pool tensor. On odd spatial
+            # dims VALID 2x2 pooling drops the last row/col, so
+            # amax(pooled) can underestimate amax(pre-pool) and clip
+            # exactly the boundary voxels the skip carries — calibrate on
+            # the pre-pool amax instead (identical on even dims, where the
+            # max always survives pooling).
+            collect[mark] = jnp.max(jnp.abs(xs[-2].astype(jnp.float32)))
 
     y = xs[-1]
     for i in range(len(nf) - 1):
@@ -277,7 +287,9 @@ def _unet_int8_resident(q, x, nf, n_classes, apply_last_layer, dtype):
     inc0, inc1 = q["inc"]
     xq = _requant(x.astype(jnp.float32), inc0["xs"])
     # encoder: every edge int8; skip tensors ARE the resident edges, at the
-    # scale of their down-path consumer (amax(pool(h)) == amax(h) post-ReLU)
+    # scale of their down-path consumer (calibrated on the PRE-pool tensor —
+    # see the calibration-collect note in unet_int8 — so odd-dim boundary
+    # voxels dropped by VALID pooling stay inside the clip range)
     h = _qconv_r(xq, inc0["xs"], inc0, out_xs=inc1["xs"])
     edge = q["down0"][0]["xs"]
     h = _qconv_r(h, inc1["xs"], inc1, out_xs=edge)

@@ -65,7 +65,13 @@ def cross_entropy(logits: jax.Array, labels: jax.Array, class_weights=None) -> j
     """
     logp = jax.nn.log_softmax(logits, axis=-1)
     c = logits.shape[-1]
-    oh = jax.nn.one_hot(labels.astype(jnp.int32), c, dtype=logp.dtype)
+    # Clamp out-of-range labels to the valid class range so a stray label
+    # (unmapped id, sentinel) selects the last class — the behavior the
+    # previous take_along_axis gather had (XLA gathers clamp) — instead of
+    # one_hot's all-zero row, which would silently zero that pixel's loss
+    # AND gradient. Bit-identical for in-range labels.
+    lbl = jnp.clip(labels.astype(jnp.int32), 0, c - 1)
+    oh = jax.nn.one_hot(lbl, c, dtype=logp.dtype)
     ce = -jnp.sum(logp * oh, axis=-1)
     if class_weights is not None:
         w_tab = jnp.asarray(class_weights, ce.dtype)

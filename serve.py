@@ -176,6 +176,13 @@ def _serve_loop(args, cfg, task, variables, ev, cube, seen, sizes, key,
     fails: dict = {}  # name → failed-load count (quarantine at 3)
     quarantined: dict = {}  # name → size when quarantined
 
+    def _quarantine(n):
+        seen.add(n)
+        try:
+            quarantined[n] = os.path.getsize(os.path.join(args.watch, n))
+        except OSError:
+            pass
+
     def _fail(n, e):
         # retry covers a still-flushing upload the size check missed; a file
         # that fails repeatedly is corrupt (or stalled) — quarantine it so
@@ -184,13 +191,18 @@ def _serve_loop(args, cfg, task, variables, ev, cube, seen, sizes, key,
         if fails[n] >= 3:
             logging.error("quarantining %s after %d failed loads: %s",
                           n, fails[n], e)
-            seen.add(n)
-            try:
-                quarantined[n] = os.path.getsize(os.path.join(args.watch, n))
-            except OSError:
-                pass
+            _quarantine(n)
         else:
             logging.warning("skipping %s (attempt %d): %s", n, fails[n], e)
+
+    def _reject_oversize(n, shape):
+        # immediate quarantine (no 3-strike retry: the header is readable and
+        # the verdict is final for THIS file content) — but via the same
+        # self-healing map, so replacing the file with a corrected volume of
+        # a different size gets it re-inspected without a daemon restart
+        logging.error("%s shape %s exceeds cube %d; rejected", n, shape, cube)
+        fails.pop(n, None)
+        _quarantine(n)
 
     while True:
         if args.once:  # single scan: everything already on disk is "stable"
@@ -224,13 +236,13 @@ def _serve_loop(args, cfg, task, variables, ev, cube, seen, sizes, key,
                 except Exception as e:
                     _fail(n, e)
                     continue
-                if cube == 0:
-                    cube = int(max(shape))
-                    logging.info("program cube fixed at %d from %s", cube, n)
-                if max(shape) > cube:
-                    logging.error("%s exceeds cube %d; rejected", n, cube)
-                    fails[n] = fails.get(n, 0) + 1
-                    seen.add(n)
+                # while cube is still 0 (auto), the oversize check waits for
+                # the post-load pass below — the cube must be fixed from a
+                # volume that actually LOADED, not from a header whose
+                # payload may be corrupt (a truncated first upload must not
+                # poison the program cube for the daemon's lifetime)
+                if cube and max(shape) > cube:
+                    _reject_oversize(n, shape)
                     continue
                 accepted.append(n)
             # parallel loads: gzip decompression and disk reads of a batch
@@ -251,6 +263,14 @@ def _serve_loop(args, cfg, task, variables, ev, cube, seen, sizes, key,
                     # data-section failures (truncated payload) get the same
                     # retry/quarantine treatment as header failures
                     _fail(n, v)
+                    continue
+                if cube == 0:
+                    cube = int(max(v.shape))
+                    logging.info("program cube fixed at %d from %s", cube, n)
+                if max(v.shape) > cube:
+                    # only reachable in the cube-auto first batch, where the
+                    # header preflight had no cube to check against yet
+                    _reject_oversize(n, v.shape)
                     continue
                 vols.append(pad_to_cube(v, cube))
                 names.append(n)

@@ -328,3 +328,94 @@ def test_eval_cli_ged_and_uncertainty(tmp_path):
     ent = nifti.load(unc_files[0])
     assert ent.shape == (16, 16, 16)
     assert np.isfinite(ent).all() and ent.min() >= -1e-6
+
+
+def test_cli_serve_cube_not_poisoned_by_corrupt_first_file(tmp_path):
+    """With --cube 0 (auto), the program cube must be fixed from a volume
+    that actually LOADED — a corrupt first upload whose intact header
+    claims a small shape must not pin the cube for the daemon's lifetime
+    and get every subsequent healthy volume rejected."""
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    rng = np.random.default_rng(11)
+    # "a_..." sorts before "good..." → inspected first
+    bad = watch / "a_corrupt.nii"
+    nifti.save(bad, rng.random((8, 8, 8)).astype(np.float32))
+    blob = bad.read_bytes()
+    bad.write_bytes(blob[:400])  # intact header (claims 8^3), torn payload
+    nifti.save(watch / "good.nii", rng.random((16, 16, 16)).astype(np.float32))
+
+    env = dict(os.environ)
+    env["PMPU_FORCE_CPU"] = "1"
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "serve.py"), "-m", "unet",
+         "--num-filters", "4,8", "--watch", str(watch),
+         "--out", str(tmp_path / "out"), "--cube", "0", "--once"],
+        cwd=tmp_path, env=env, capture_output=True, text=True, timeout=600,
+    )
+    log = res.stderr + res.stdout
+    assert res.returncode == 1, log  # corrupt file → partial results
+    assert "program cube fixed at 16" in log, log
+    assert (tmp_path / "out" / "good.nii").exists(), log
+    assert nifti.load(tmp_path / "out" / "good.nii").shape == (16, 16, 16)
+    assert not (tmp_path / "out" / "a_corrupt.nii").exists()
+
+
+@pytest.mark.slow
+def test_cli_serve_oversize_self_heals_on_replacement(tmp_path):
+    """An oversized upload is rejected via the same self-healing quarantine
+    as failed loads: replacing the file with a corrected volume (different
+    byte size) must get it re-inspected and served — no rename or daemon
+    restart required."""
+    import signal
+    import time
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    out = tmp_path / "out"
+    rng = np.random.default_rng(5)
+    env = dict(os.environ)
+    env["PMPU_FORCE_CPU"] = "1"
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "serve.py"), "-m", "unet",
+         "--num-filters", "4,8", "--watch", str(watch), "--out", str(out),
+         "--cube", "16", "--poll", "0.2"],
+        cwd=tmp_path, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True,
+    )
+    import threading
+
+    lines: list = []
+    reader = threading.Thread(
+        target=lambda: lines.extend(iter(proc.stdout.readline, "")), daemon=True
+    )
+    reader.start()
+
+    def _wait_for_log(needle, timeout):
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            if any(needle in ln for ln in lines):
+                return
+            assert proc.poll() is None, "".join(lines)
+            time.sleep(0.2)
+        raise AssertionError(f"no {needle!r} in log:\n" + "".join(lines))
+
+    try:
+        nifti.save(watch / "v.nii", rng.random((24, 24, 24)).astype(np.float32))
+        _wait_for_log("exceeds cube 16", 300)
+        assert not (out / "v.nii").exists()
+        # replace with a conforming volume of a different size
+        nifti.save(watch / "v.nii", rng.random((16, 16, 16)).astype(np.float32))
+        _wait_for_log("re-inspecting", 120)
+        seg = _wait_for_nifti(out / "v.nii", 300)
+        assert seg.shape == (16, 16, 16)
+        proc.send_signal(signal.SIGINT)
+        rc = proc.wait(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    reader.join(timeout=10)
+    log = "".join(lines)
+    assert rc == 0, log
+    assert "exceeds cube 16" in log
+    assert "re-inspecting" in log

@@ -206,3 +206,24 @@ def test_generalized_energy_distance_properties():
     s_same = jnp.broadcast_to(s_div[0], (4, 8, 8))
     ged_same = float(generalized_energy_distance(s_same, y, 3))
     assert ged_div < ged_same + 0.2  # diversity term reduces (or ties) GED
+
+
+def test_cross_entropy_out_of_range_labels_clamp_not_vanish():
+    """Out-of-range labels (stray sentinel, unmapped class id) must clamp
+    to the valid class range — the behavior the pre-one-hot gather had —
+    NOT produce a silent zero loss/gradient via one_hot's all-zero row.
+    A data problem should surface as visible (if wrong) loss, never as
+    voxels that quietly stop training."""
+    logits = jnp.asarray(RNG.normal(size=(1, 4, 4, 3)).astype(np.float32))
+    hi = losses.cross_entropy(logits, jnp.full((1, 4, 4), 255))
+    lo = losses.cross_entropy(logits, jnp.full((1, 4, 4), -1))
+    last = losses.cross_entropy(logits, jnp.full((1, 4, 4), 2))
+    first = losses.cross_entropy(logits, jnp.zeros((1, 4, 4), jnp.int32))
+    np.testing.assert_array_equal(np.asarray(hi), np.asarray(last))
+    np.testing.assert_array_equal(np.asarray(lo), np.asarray(first))
+    assert float(jnp.min(hi)) > 0.0  # not silently zeroed
+    # per-class weights follow the clamped class too
+    w = (0.5, 1.0, 2.0)
+    hw = losses.cross_entropy(logits, jnp.full((1, 4, 4), 99), class_weights=w)
+    lw = losses.cross_entropy(logits, jnp.full((1, 4, 4), 2), class_weights=w)
+    np.testing.assert_array_equal(np.asarray(hw), np.asarray(lw))

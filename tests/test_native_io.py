@@ -183,3 +183,63 @@ def test_volume_store_falls_back_to_python_on_native_header_error(tmp_path):
     # explicit use_native=True must NOT silently fall back
     with pytest.raises(ValueError):
         VolumeStore.from_dirs(tmp_path / "images", tmp_path / "labels", use_native=True)
+
+
+def test_native_multimember_gzip_accepted(tmp_path):
+    """bgzip / concatenated-gzip .nii.gz files are valid: zlib's gzread
+    concatenates members transparently, and RFC 1952 allows it. The gzip
+    ISIZE preflight sees only the LAST member's size, so a mismatch there
+    must fall through to the exact streaming count, not hard-reject."""
+    import gzip
+
+    data = (RNG.random((6, 5, 4)) * 50).astype(np.float32)
+    single = tmp_path / "single.nii"
+    nifti.save(single, data)
+    blob = single.read_bytes()
+    # split the byte stream into two independent gzip members
+    cut = len(blob) // 3
+    multi = tmp_path / "multi.nii.gz"
+    multi.write_bytes(gzip.compress(blob[:cut]) + gzip.compress(blob[cut:]))
+    # last member's ISIZE < header-claimed payload — the old preflight
+    # falsely rejected exactly this file
+    np.testing.assert_array_equal(native.load_volume(str(multi)), data)
+    # the pure-Python codec agrees (gzip module is multi-member-aware too)
+    np.testing.assert_array_equal(nifti.load(multi), data)
+
+
+def test_native_truncated_gzip_payload_still_rejected(tmp_path):
+    """A gzip whose stream really does decompress to less than the header
+    claim must still be rejected by the preflight (via the exact streaming
+    count when the trailing ISIZE is inconclusive)."""
+    import gzip
+
+    data = (RNG.random((6, 5, 4)) * 50).astype(np.float32)
+    p = tmp_path / "t.nii"
+    nifti.save(p, data)
+    blob = p.read_bytes()
+    trunc = tmp_path / "trunc.nii.gz"
+    # a complete, valid gzip member of a TRUNCATED byte stream: ISIZE is
+    # small but self-consistent, so only the claimed-vs-decompressed check
+    # can catch it
+    trunc.write_bytes(gzip.compress(blob[: len(blob) - 40]))
+    with pytest.raises(ValueError, match="claims"):
+        native.load_volume(str(trunc))
+
+
+def test_pair_file_magic_rejected_by_both_codecs(tmp_path):
+    """NIfTI-1 pair files ('ni1' magic, data in a sibling .img) are
+    explicitly unsupported: the single-file codecs must reject them with a
+    clear error, not a misleading vox_offset complaint (a conforming pair
+    sets vox_offset=0, which the >=348 floor would trip on anyway)."""
+    import struct
+
+    p = tmp_path / "pair.nii"
+    nifti.save(p, np.arange(24, dtype=np.float32).reshape(2, 3, 4))
+    raw = bytearray(p.read_bytes())
+    raw[344:348] = b"ni1\x00"
+    struct.pack_into("<f", raw, 108, 0.0)  # conforming pair vox_offset
+    p.write_bytes(bytes(raw))
+    with pytest.raises(ValueError, match="pair"):
+        nifti.read_header(str(p))
+    with pytest.raises(ValueError):
+        native.load_volume(str(p))

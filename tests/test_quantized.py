@@ -410,3 +410,40 @@ def test_int8_resident_odd_spatial_pad_to_match():
 
     ref = task.net.apply(variables, x, train=False)
     assert float(jnp.abs(y_res - ref).max()) < 0.25
+
+
+def test_calibration_edge_scales_cover_prepool_amax():
+    """The down-block conv0 scales double as the resident forward's skip-
+    edge scales, where they quantize the PRE-pool tensor. On odd spatial
+    dims VALID 2x2 pooling drops the last row/col, so a scale calibrated
+    on the pooled tensor can clip exactly the boundary voxels the skip
+    carries. Calibration must therefore bake margin*amax(pre-pool)/127 —
+    identical on even dims (the max always survives pooling there)."""
+    margin = 1.25
+    task = make_task("unet", n_classes=3, num_filters=(8, 16, 32))
+    variables = _perturbed_variables(task, s=9)
+    x = jnp.asarray(RNG.random((2, 9, 9, 1)), jnp.float32)  # odd dims
+
+    q = qz.quantize_unet(variables, (8, 16, 32))
+    # recompute the encoder's pre-pool tensors with the same primitives
+    h = qz._qdouble(x.astype(jnp.float32), q["inc"], act_dtype=jnp.float32)
+    prepool = [h]
+    for i in range(2):
+        pooled = jax.lax.reduce_window(
+            prepool[-1], -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
+            "VALID",
+        )
+        prepool.append(
+            qz._qdouble(pooled, q[f"down{i}"], act_dtype=jnp.float32)
+        )
+
+    qz.calibrate_unet(q, x, (8, 16, 32), 3, dtype=jnp.float32, margin=margin)
+    for i in range(2):
+        want = max(float(jnp.max(jnp.abs(prepool[i]))), 1e-9) * margin / 127.0
+        got = float(q[f"down{i}"][0]["xs"])
+        assert got == pytest.approx(want, rel=1e-6), f"down{i}"
+        # and the edge scale is never below what the pooled tensor needs
+        pooled_amax = float(jnp.max(jnp.abs(jax.lax.reduce_window(
+            prepool[i], -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
+            "VALID"))))
+        assert got * 127.0 >= pooled_amax

@@ -358,3 +358,20 @@ def test_packed_fetch_matches_unpacked_path(tmp_path):
     np.testing.assert_array_equal(
         r15["argmax"], np.asarray(jnp.argmax(r15["fused"], axis=-1)).astype(np.float32)
     )
+
+
+def test_device_hbm_limit_malformed_env_degrades_gracefully(monkeypatch):
+    """The OOM pre-flight guard is best-effort by design: a malformed
+    PMPU_HBM_BYTES override must warn and fall through to the backend
+    probe, not abort the evaluation with a ValueError."""
+    import warnings as _warnings
+
+    from pmpu_tpu.inference.engine import device_hbm_limit
+
+    monkeypatch.setenv("PMPU_HBM_BYTES", "15e9")  # scientific notation OK
+    assert device_hbm_limit() == 15_000_000_000
+    monkeypatch.setenv("PMPU_HBM_BYTES", "15G")
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        device_hbm_limit()  # must not raise
+    assert any("malformed" in str(x.message) for x in w)
