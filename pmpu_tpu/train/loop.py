@@ -324,7 +324,8 @@ def train_net(cfg: Config, store: VolumeStore, interrupt_flag=None):
         # deleted buffers; the save must not turn a Ctrl-C into a crash.
         try:
             ckpt.save_checkpoint(
-                "INTERRUPTED.pth", latest["state"], plateau, key, extra=model_extra
+                "INTERRUPTED.pth", latest["state"], plateau,
+                latest.get("key", key), extra=model_extra,
             )
             log.info("Saved interrupt")
         except RuntimeError as e:
@@ -336,7 +337,7 @@ def train_net(cfg: Config, store: VolumeStore, interrupt_flag=None):
 
     if cfg.save_cp:
         path = os.path.join(cfg.checkpoint_dir, f"{task.name}_model.pt")
-        ckpt.save_checkpoint(path, state, plateau, key, extra=model_extra)
+        ckpt.save_checkpoint(path, state, plateau, latest.get("key", key), extra=model_extra)
         log.info("Saved model %s", path)
     writer.close()
     return state, task, history
@@ -411,6 +412,16 @@ def _epoch_loop(
     n_classes, history, interrupt_flag, stream_pipe, sv,
     state, timer, ckptr_box,
 ):
+    def _next_key():
+        # every key advance is mirrored into `latest` so the INTERRUPTED /
+        # final saves in train_net persist the EVOLVED key — saving the
+        # entry key would make a resumed run replay the epoch-0 RNG stream
+        # (the exact defect the checkpointed key exists to prevent)
+        nonlocal key
+        key, sk = jax.random.split(key)
+        latest["key"] = key
+        return sk
+
     global_step = 0
     for epoch in range(cfg.epochs):
         # ---------------- train phase ----------------
@@ -450,7 +461,7 @@ def _epoch_loop(
             for triples in train_batcher.epoch_batches(per_shard, rng):
                 if interrupt_flag is not None and interrupt_flag():
                     raise KeyboardInterrupt
-                key, sk = jax.random.split(key)
+                sk = _next_key()
                 t = jax.device_put(jnp.asarray(triples), dat)
                 state = _train_one(state, (images_d, labels_d, t, sk), global_step)
                 global_step += 1
@@ -460,7 +471,7 @@ def _epoch_loop(
                     raise KeyboardInterrupt
                 sel = train_idx[order[i * per_step : (i + 1) * per_step]]
                 triples = jnp.asarray(index[sel])
-                key, sk = jax.random.split(key)
+                sk = _next_key()
                 state = _train_one(state, (images_d, labels_d, triples, sk), global_step)
                 global_step += 1
         else:
@@ -472,7 +483,7 @@ def _epoch_loop(
             for imgs, lbls in stream_pipe.iterate(batches):
                 if interrupt_flag is not None and interrupt_flag():
                     raise KeyboardInterrupt
-                key, sk = jax.random.split(key)
+                sk = _next_key()
                 state = _train_one(state, (imgs, lbls, rows, sk), global_step)
                 global_step += 1
         while pending_metrics:
@@ -520,7 +531,7 @@ def _epoch_loop(
         val_pending = []
         first_images = None
         for i in range(val_steps):
-            key, sk = jax.random.split(key)
+            sk = _next_key()
             if sv is not None:
                 t = jax.device_put(jnp.asarray(val_batches[i]), dat)
                 vloss, dice, preds, img, msk = eval_step(

@@ -95,6 +95,32 @@ def test_interrupt_writes_emergency_checkpoint(tmp_path, monkeypatch):
     assert payload["extra"]["model_config"]["net"] == "unet"
 
 
+def test_final_checkpoint_persists_evolved_rng_key(tmp_path):
+    """The key saved at end-of-training (and on interrupt) must be the
+    EVOLVED key after all per-step splits, not the entry key — otherwise a
+    resumed run replays the epoch-0 RNG stream (sample order / latent
+    draws), defeating the point of checkpointing the key at all."""
+    from pmpu_tpu.train import checkpoint as ckpt
+    from pmpu_tpu.train.loop import train_net
+
+    store = make_synthetic_store(n=2, s=16)
+    cfg = Config(
+        net="unet", n_classes=3, epochs=1, batchsize=4, lr=0.05,
+        num_filters=(4, 8), save_cp=True, seed=0,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    train_net(cfg, store)
+    payload = ckpt.load_checkpoint(str(tmp_path / "ck" / "unet_model.pt"))
+    saved = np.asarray(payload["rng_key"])
+
+    # the (stale) entry key train_net starts from: seed key after the
+    # init split (loop.py::train_net)
+    key = jax.random.key(cfg.seed)
+    key, _init = jax.random.split(key)
+    stale = np.asarray(jax.random.key_data(key))
+    assert not np.array_equal(saved, stale), "checkpoint saved the un-evolved entry key"
+
+
 def test_resume_restores_plateau_and_rng(tmp_path):
     """A checkpoint carries the plateau scheduler (reduced lr, patience
     counters) and the PRNG key; --load must restore BOTH so a resumed run
