@@ -177,9 +177,16 @@ def _preflight_payload(path: str, count: int, esz: int, vox_offset: int) -> None
             f"{fsize}-byte gzip (exceeds max deflate expansion)"
         )
     if claimed < (1 << 32):
-        with open(path, "rb") as f:
-            f.seek(-4, os.SEEK_END)
-            isize = int.from_bytes(f.read(4), "little")
+        try:
+            with open(path, "rb") as f:
+                f.seek(-4, os.SEEK_END)
+                isize = int.from_bytes(f.read(4), "little")
+        except OSError as e:
+            # a .gz shorter than 4 bytes (or one that vanished mid-check)
+            # must stay inside the codec's ValueError contract rather than
+            # leak an OSError — don't rely on read_header's 348-byte
+            # minimum having run first
+            raise ValueError(f"{path}: {e}") from e
         if claimed > isize and not _gz_yields_at_least(path, claimed):
             # ISIZE is the LAST member's decompressed size, so a mismatch
             # is not proof of corruption: multi-member gzips (bgzip,
@@ -216,14 +223,29 @@ def load_volume(path: str) -> np.ndarray:
     return out.reshape(shape)
 
 
-def load_dataset(paths: list, cube: int, nthreads: int = 0) -> np.ndarray:
+def load_dataset(paths: list, cube: int, nthreads: int = 0, out=None) -> np.ndarray:
     """Parallel stacked load: (len(paths), cube, cube, cube) float32, each
-    volume zero-padded at the high end (reference pad-to-cube semantics)."""
+    volume zero-padded at the high end (reference pad-to-cube semantics).
+
+    ``out``: optional preallocated C-contiguous float32 (n,cube,cube,cube)
+    buffer the C++ loader fills in place — pass an ``np.memmap`` for the
+    out-of-core volume pool (the decompressed pool then never touches the
+    heap; the OS pages it)."""
     lib = get_lib()
     if lib is None:
         raise RuntimeError("native io unavailable")
     n = len(paths)
-    out = np.empty((n, cube, cube, cube), dtype=np.float32)
+    if out is None:
+        out = np.empty((n, cube, cube, cube), dtype=np.float32)
+    elif (
+        out.shape != (n, cube, cube, cube)
+        or out.dtype != np.float32
+        or not out.flags["C_CONTIGUOUS"]
+    ):
+        raise ValueError(
+            f"out must be C-contiguous float32 {(n, cube, cube, cube)}, "
+            f"got {out.dtype} {out.shape}"
+        )
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     rc = lib.pmpu_load_dataset_f32(
         arr, n, cube, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), nthreads

@@ -69,7 +69,12 @@ def cross_entropy(logits: jax.Array, labels: jax.Array, class_weights=None) -> j
     # (unmapped id, sentinel) selects the last class — the behavior the
     # previous take_along_axis gather had (XLA gathers clamp) — instead of
     # one_hot's all-zero row, which would silently zero that pixel's loss
-    # AND gradient. Bit-identical for in-range labels.
+    # AND gradient. Bit-identical for in-range labels. DIVERGENCE from
+    # torch CrossEntropyLoss, which raises on out-of-range targets: inside
+    # jit there is no data-dependent raise, so bad labels train toward the
+    # clamped class instead of erroring (docs/DESIGN.md "Deliberate
+    # divergences"); run with --nan-checks / the data validator to catch
+    # label-mapping bugs eagerly.
     lbl = jnp.clip(labels.astype(jnp.int32), 0, c - 1)
     oh = jax.nn.one_hot(lbl, c, dtype=logp.dtype)
     ce = -jnp.sum(logp * oh, axis=-1)

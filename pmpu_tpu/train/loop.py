@@ -412,14 +412,19 @@ def _epoch_loop(
     n_classes, history, interrupt_flag, stream_pipe, sv,
     state, timer, ckptr_box,
 ):
-    def _next_key():
+    def _next_key(commit=True):
         # every key advance is mirrored into `latest` so the INTERRUPTED /
         # final saves in train_net persist the EVOLVED key — saving the
         # entry key would make a resumed run replay the epoch-0 RNG stream
-        # (the exact defect the checkpointed key exists to prevent)
+        # (the exact defect the checkpointed key exists to prevent).
+        # Train steps pass commit=False: there the evolved key is committed
+        # in _train_one TOGETHER with the post-step state, so an interrupt
+        # landing inside the step never persists a key advanced past a step
+        # whose state was not saved (one-step RNG-stream mismatch on resume).
         nonlocal key
         key, sk = jax.random.split(key)
-        latest["key"] = key
+        if commit:
+            latest["key"] = key
         return sk
 
     global_step = 0
@@ -450,6 +455,7 @@ def _epoch_loop(
             timer.start()
             state, metrics = train_step(state, imgs, lbls, triples, sk, plateau.lr)
             latest["state"] = state
+            latest["key"] = key  # paired commit with the state (see _next_key)
             pending_metrics.append((global_step, metrics))
             while len(pending_metrics) > 1:
                 _drain_metrics()
@@ -461,7 +467,7 @@ def _epoch_loop(
             for triples in train_batcher.epoch_batches(per_shard, rng):
                 if interrupt_flag is not None and interrupt_flag():
                     raise KeyboardInterrupt
-                sk = _next_key()
+                sk = _next_key(commit=False)
                 t = jax.device_put(jnp.asarray(triples), dat)
                 state = _train_one(state, (images_d, labels_d, t, sk), global_step)
                 global_step += 1
@@ -471,7 +477,7 @@ def _epoch_loop(
                     raise KeyboardInterrupt
                 sel = train_idx[order[i * per_step : (i + 1) * per_step]]
                 triples = jnp.asarray(index[sel])
-                sk = _next_key()
+                sk = _next_key(commit=False)
                 state = _train_one(state, (images_d, labels_d, triples, sk), global_step)
                 global_step += 1
         else:
@@ -483,7 +489,7 @@ def _epoch_loop(
             for imgs, lbls in stream_pipe.iterate(batches):
                 if interrupt_flag is not None and interrupt_flag():
                     raise KeyboardInterrupt
-                sk = _next_key()
+                sk = _next_key(commit=False)
                 state = _train_one(state, (imgs, lbls, rows, sk), global_step)
                 global_step += 1
         while pending_metrics:

@@ -174,14 +174,18 @@ def _serve_loop(args, cfg, task, variables, ev, cube, seen, sizes, key,
     import jax.numpy as jnp
 
     fails: dict = {}  # name → failed-load count (quarantine at 3)
-    quarantined: dict = {}  # name → size when quarantined
+    quarantined: dict = {}  # name → size when quarantined (-1 = unknown)
+    rejected = 0  # oversize rejections (counted into --once's exit code)
 
     def _quarantine(n):
         seen.add(n)
         try:
             quarantined[n] = os.path.getsize(os.path.join(args.watch, n))
         except OSError:
-            pass
+            # file vanished between the failure and the quarantine stat:
+            # store a sentinel size so the self-heal loop still re-inspects
+            # when a file under this name reappears (any real size differs)
+            quarantined[n] = -1
 
     def _fail(n, e):
         # retry covers a still-flushing upload the size check missed; a file
@@ -200,8 +204,10 @@ def _serve_loop(args, cfg, task, variables, ev, cube, seen, sizes, key,
         # the verdict is final for THIS file content) — but via the same
         # self-healing map, so replacing the file with a corrected volume of
         # a different size gets it re-inspected without a daemon restart
+        nonlocal rejected
         logging.error("%s shape %s exceeds cube %d; rejected", n, shape, cube)
         fails.pop(n, None)
+        rejected += 1
         _quarantine(n)
 
     while True:
@@ -303,8 +309,9 @@ def _serve_loop(args, cfg, task, variables, ev, cube, seen, sizes, key,
                 )
         if args.once:
             # batch-job contract: non-zero exit when any volume failed to
-            # load, so callers can detect partial results
-            return 1 if fails else 0
+            # load OR was rejected oversize, so callers can detect partial
+            # results (oversize rejects leave `fails`, hence the counter)
+            return 1 if (fails or rejected) else 0
         time.sleep(args.poll)
 
 
