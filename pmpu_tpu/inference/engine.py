@@ -595,24 +595,65 @@ class VolumeEvaluator:
         vols = self._upload(img_vols)
         keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(vols.shape[0]))
 
-        if not hasattr(self, "_predict_batched"):
-            self._predict_batched = jax.jit(
-                jax.vmap(self._predict_volume, in_axes=(None, 0, 0))
-            )
-            self._report_batched = jax.jit(jax.vmap(self._dice_report, in_axes=(0, 0)))
         # calibration sample only when quantizing — np.asarray on a
         # device-resident (V,S,S,S) batch would fetch EVERY volume to host
         sample = np.asarray(img_vols[0]) if self.quantize else None
-        outs = self._predict_batched(
-            self._maybe_quantize(variables, sample_vol=sample),
-            vols, keys,
-        )
+        qv = self._maybe_quantize(variables, sample_vol=sample)
+        exec_ = self._compile_batched(qv, vols.shape, vols.dtype)
+        outs = exec_(qv, vols, keys)
         result = {"fused": outs[-1]}
         if truth_vols is not None:
+            if not hasattr(self, "_report_batched"):
+                self._report_batched = jax.jit(jax.vmap(self._dice_report, in_axes=(0, 0)))
             result["dice"] = np.asarray(
                 self._report_batched(outs, self._upload_truth(truth_vols))
             )
         return result
+
+    def _compile_batched(self, variables, vols_shape, vols_dtype):
+        """AOT-compiled vmapped whole-volume program for a
+        ``(V,S,S,S)``-shaped group — cached by (shape, dtype, variables tree
+        structure) so the OOM pre-flight's compile IS the compile the eval
+        loop then runs (no double compile; the jit dispatch cache would not
+        reuse an AOT executable). Raises whatever XLA raises — the callers'
+        RESOURCE_EXHAUSTED handling is the OOM backstop."""
+        sig = (
+            tuple(vols_shape),
+            str(vols_dtype),
+            jax.tree_util.tree_structure(variables),
+        )
+        if getattr(self, "_batched_sig", None) != sig:
+            vb = vols_shape[0]
+            key0 = jax.vmap(lambda i: jax.random.fold_in(jax.random.key(0), i))(
+                jnp.arange(vb)
+            )
+            fn = jax.jit(jax.vmap(self._predict_volume, in_axes=(None, 0, 0)))
+            compiled = fn.lower(
+                variables, jax.ShapeDtypeStruct(tuple(vols_shape), vols_dtype), key0
+            ).compile()
+            self._batched_exec = compiled
+            self._batched_sig = sig
+        return self._batched_exec
+
+    def batched_hbm_xla(
+        self, variables, s: int, volumes_per_batch: int
+    ) -> Optional[int]:
+        """EXACT device-memory reservation (bytes) of the vmapped
+        ``volumes_per_batch``-volume program at cube ``s``, from XLA's own
+        buffer assignment (``compiled.memory_analysis().peak_memory_in_bytes``)
+        — compile-once, reused by :meth:`evaluate_volumes_batched`. Returns
+        None when the backend can't report it (the coefficient model in
+        :meth:`batched_hbm_estimate` is then the guard's fallback). Raises
+        RESOURCE_EXHAUSTED when the program itself doesn't fit — callers
+        treat that as the definitive "doesn't fit" answer."""
+        dt = np.uint8 if self._u8_upload else self.input_dtype
+        exec_ = self._compile_batched(variables, (volumes_per_batch, s, s, s), dt)
+        try:
+            mem = exec_.memory_analysis()
+            peak = int(mem.peak_memory_in_bytes)
+        except Exception:
+            return None
+        return peak if peak > 0 else None
 
     def batched_hbm_estimate(self, s: int, volumes_per_batch: int) -> int:
         """Rough activation-HBM footprint (bytes) of the vmapped
@@ -683,12 +724,35 @@ class VolumeEvaluator:
         if n:
             s = int(np.asarray(store.images[0]).shape[0])
             limit = device_hbm_limit()
-            est = self.batched_hbm_estimate(s, vb)
-            if limit is not None and est > 0.90 * limit:
+            # exact pre-flight: compile the group program ONCE (the eval loop
+            # reuses the executable — no double compile) and read XLA's own
+            # buffer-assignment peak; a compile-time RESOURCE_EXHAUSTED is
+            # the definitive does-not-fit answer. The hand-fit coefficient
+            # model is only the fallback for backends that can't report
+            # memory_analysis.
+            qv = self._maybe_quantize(
+                variables,
+                sample_vol=np.asarray(store.images[0]) if self.quantize else None,
+            )
+            try:
+                est = self.batched_hbm_xla(qv, s, vb)
+            except Exception as e:
+                if _is_oom_error(e):
+                    return fallback(
+                        f"XLA out of memory compiling the {vb}-volume "
+                        f"program at {s}^3 ({type(e).__name__})"
+                    )
+                raise
+            exact = est is not None
+            if not exact:
+                est = self.batched_hbm_estimate(s, vb)
+            # exact reservations get a thinner margin (runtime still needs
+            # room for the resident volume arrays the program doesn't own)
+            if limit is not None and est > (0.95 if exact else 0.90) * limit:
                 return fallback(
-                    f"estimated activation footprint {est / 2**30:.1f} GiB "
-                    f"for {vb} volumes at {s}^3 exceeds the {limit / 2**30:.1f} "
-                    "GiB device budget"
+                    f"{'XLA-reported' if exact else 'estimated'} activation "
+                    f"footprint {est / 2**30:.1f} GiB for {vb} volumes at "
+                    f"{s}^3 exceeds the {limit / 2**30:.1f} GiB device budget"
                 )
 
         per_view = [[] for _ in range(self.num_views)]
