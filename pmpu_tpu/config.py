@@ -73,6 +73,9 @@ class Config:
     eval_mode: str = "sequential"  # sequential | batched (vmap volumes for throughput)
     eval_volumes_batch: int = 2  # volumes per vmapped program in batched eval mode
     stream: bool = False  # host-streaming data path (datasets larger than HBM)
+    mmap_store: Optional[str] = None  # out-of-core volume pool dir: the
+    # padded pool lives in file-backed np.memmap arrays (built once, manifest
+    # -validated reuse) so --stream datasets can exceed host RAM too
     compile_cache: Optional[str] = None  # persistent XLA compile cache dir
     # (default $PMPU_COMPILE_CACHE; cold 128³ compile ~20-40 s → warm <1 s)
     pipeline_depth: int = 2  # eval: volumes dispatched ahead of the fetch
@@ -199,6 +202,11 @@ def _add_extension_args(p: argparse.ArgumentParser):
     g.add_argument("--stream", dest="stream", action="store_true",
                    help="stream slice batches from host RAM instead of keeping "
                    "the volume stack in HBM (datasets larger than device memory)")
+    g.add_argument("--mmap-store", dest="mmap_store", type=str, default=None,
+                   help="out-of-core volume pool: build/reuse the padded "
+                   "dataset as file-backed memmaps in this directory, so "
+                   "--stream training also scales past host RAM (the OS "
+                   "page cache is the LRU)")
     g.add_argument("--sharded-volumes", dest="sharded_volumes", action="store_true",
                    help="shard the volume pool itself over the 'data' mesh axis "
                    "(each device holds N/n volumes; shard-local gathers)")

@@ -32,6 +32,16 @@ def make_view_stacks(arr: np.ndarray) -> np.ndarray:
     return np.stack([arr, arr.transpose(0, 2, 1, 3), arr.transpose(0, 3, 1, 2)])
 
 
+def _squeeze3d_shape(sh, path: str) -> tuple:
+    """Shape-level twin of :func:`_squeeze3d` for header-only passes."""
+    sh = tuple(int(d) for d in sh)
+    while len(sh) > 3 and sh[-1] == 1:
+        sh = sh[:-1]
+    if len(sh) != 3:
+        raise ValueError(f"{path}: expected a 3-D volume, got shape {sh}")
+    return sh
+
+
 def _squeeze3d(vol: np.ndarray) -> np.ndarray:
     """Drop trailing singleton dims (NIfTI files often declare dim[0]=4 with
     a unit 4th axis); 3-D volumes pass through unchanged."""
@@ -93,6 +103,7 @@ class VolumeStore:
         use_native: bool | None = None,
         names=None,
         cube: int | None = None,
+        mmap_dir: str | None = None,
     ) -> "VolumeStore":
         """Load a ``{images,labels}`` directory pair (reference data tree
         layout, ``Utils/nii.py:96-105``). File names are shared between the
@@ -105,7 +116,18 @@ class VolumeStore:
         ``names``: load only these file names (per-host sharded loading —
         ``pmpu_tpu.parallel.hostdata``). ``cube``: force the pad-to-cube
         size; pass the GLOBAL max when loading a subset so every host pads
-        identically (default: max over the loaded volumes)."""
+        identically (default: max over the loaded volumes).
+
+        ``mmap_dir``: OUT-OF-CORE mode for datasets larger than host RAM
+        (``--mmap-store``): the padded pool is built ONCE into file-backed
+        ``np.memmap`` arrays under this directory (one volume in heap at a
+        time during the build; the C++ batch loader writes straight into
+        the mapping), and reopened read-only on later runs when the
+        manifest (ids, cube, dtype, source sizes+mtimes) still matches.
+        Slice gathers (the ``--stream`` host path, ``data/pipeline.py``)
+        then touch only the pages they read and the OS page cache is the
+        LRU — the generalization the reference's per-slice whole-volume
+        reloads (``mri_dataset.py:124-127``) were groping for."""
         ids = (
             sorted(filter(nifti.is_nifti_name, os.listdir(imgs_dir)))
             if names is None
@@ -115,6 +137,12 @@ class VolumeStore:
             raise FileNotFoundError(f"no volumes in {imgs_dir}")
         img_paths = [os.path.join(imgs_dir, n) for n in ids]
         lbl_paths = [os.path.join(masks_dir, n) for n in ids]
+
+        if mmap_dir is not None:
+            return cls._from_dirs_mmap(
+                img_paths, lbl_paths, ids, np.dtype(dtype), cube, mmap_dir,
+                use_native,
+            )
 
         if use_native is None or use_native:
             from pmpu_tpu.data import native
@@ -168,6 +196,91 @@ class VolumeStore:
         images = np.stack([pad_to_cube(v, c) for v in imgs]).astype(dtype)
         labels = np.stack([pad_to_cube(v, c) for v in lbls]).astype(np.int32)
         return cls(images=images, labels=labels, ids=ids, cube=c)
+
+    @classmethod
+    def _from_dirs_mmap(
+        cls, img_paths, lbl_paths, ids, dtype, cube, mmap_dir, use_native
+    ) -> "VolumeStore":
+        """Out-of-core pool build/reopen (see ``from_dirs`` ``mmap_dir``).
+
+        Build is crash-safe: the manifest is written LAST (atomic rename),
+        so a killed build leaves no manifest and the next run rebuilds."""
+        import json
+
+        os.makedirs(mmap_dir, exist_ok=True)
+        img_file = os.path.join(mmap_dir, "images.dat")
+        lbl_file = os.path.join(mmap_dir, "labels.dat")
+        man_file = os.path.join(mmap_dir, "manifest.json")
+
+        def _stat(p):
+            st = os.stat(p)
+            return [st.st_size, st.st_mtime_ns]
+
+        # header-only pass: validate image/label shape agreement and find
+        # the global cube before any voxel data is read
+        shapes = []
+        for ip, lp, name in zip(img_paths, lbl_paths, ids):
+            ish = _squeeze3d_shape(nifti.read_header(ip).shape, ip)
+            lsh = _squeeze3d_shape(nifti.read_header(lp).shape, lp)
+            if ish != lsh:
+                raise ValueError(f"{name}: image {ish} != label {lsh}")
+            shapes.append(ish)
+        c = cube or int(max(max(s) for s in shapes))
+        n = len(ids)
+        manifest = {
+            "ids": list(ids),
+            "cube": c,
+            "dtype": np.dtype(dtype).name,
+            "sources": [
+                [name, _stat(ip), _stat(lp)]
+                for name, ip, lp in zip(ids, img_paths, lbl_paths)
+            ],
+        }
+        shape = (n, c, c, c)
+        if os.path.exists(man_file):
+            try:
+                with open(man_file) as f:
+                    have = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                have = None
+            if have == manifest:
+                return cls(
+                    images=np.memmap(img_file, dtype=dtype, mode="r", shape=shape),
+                    labels=np.memmap(lbl_file, dtype=np.int32, mode="r", shape=shape),
+                    ids=list(ids), cube=c,
+                )
+            os.remove(man_file)  # stale pool: rebuild below
+
+        from pmpu_tpu.data import native
+
+        use_nat = native.available() if use_native is None else use_native
+        images = np.memmap(img_file, dtype=dtype, mode="w+", shape=shape)
+        labels = np.memmap(lbl_file, dtype=np.int32, mode="w+", shape=shape)
+        if use_nat and np.dtype(dtype) == np.float32:
+            # the C++ threaded batch loader pads and writes straight into
+            # the image mapping — no decompressed volume ever on the heap
+            native.load_dataset(img_paths, c, out=images)
+        else:
+            for i, ip in enumerate(img_paths):
+                images[i] = pad_to_cube(
+                    _squeeze3d(nifti.load(ip, dtype=np.float32)), c
+                )
+        for i, lp in enumerate(lbl_paths):
+            # labels need the int32 cast, so they go one volume at a time
+            # (one volume of heap) through either loader
+            vol = (
+                native.load_volume(lp)
+                if use_nat
+                else nifti.load(lp, dtype=np.float32)
+            )
+            labels[i] = pad_to_cube(_squeeze3d(vol), c)
+        images.flush()
+        labels.flush()
+        tmp = man_file + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, man_file)
+        return cls(images=images, labels=labels, ids=list(ids), cube=c)
 
     @classmethod
     def from_arrays(cls, images, labels, ids=None) -> "VolumeStore":

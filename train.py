@@ -45,7 +45,7 @@ def main() -> int:
     if nproc > 1:
         logging.info("multi-host: process %d/%d", proc, nproc)
     logging.info("Using devices %s", jax.devices())
-    store = VolumeStore.from_dirs(dir_img, dir_mask)
+    store = VolumeStore.from_dirs(dir_img, dir_mask, mmap_dir=cfg.mmap_store)
     logging.info(
         "Creating dataset of %d scans (cube %d, %d slices/volume)",
         len(store), store.cube, store.slices_per_volume,
