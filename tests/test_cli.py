@@ -419,3 +419,28 @@ def test_cli_serve_oversize_self_heals_on_replacement(tmp_path):
     assert rc == 0, log
     assert "exceeds cube 16" in log
     assert "re-inspecting" in log
+
+
+@pytest.mark.slow
+def test_serve_soak_ci_sized(tmp_path):
+    """CI-sized run of the serving soak harness (VERDICT r3 item 8,
+    tools/soak_serve.py; the full-length run is documented in
+    docs/PERF.md): a volume stream with corrupt, truncated-gzip, and
+    stalled-upload faults interleaved — every good volume served (zero
+    wedges), faults quarantined without killing the daemon, the stalled
+    upload self-healing after completion, RSS bounded, clean SIGINT exit."""
+    import json
+
+    env = dict(os.environ, PMPU_FORCE_CPU="1")
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "soak_serve.py"),
+         "--volumes", "8", "--cube", "12", "--poll", "0.2",
+         "--fault-every", "3", "--timeout", "240",
+         "--workdir", str(tmp_path / "soak")],
+        env=env, capture_output=True, text=True, timeout=1200,
+    )
+    assert res.returncode == 0, res.stdout[-3000:] + res.stderr[-3000:]
+    verdict = json.loads(res.stdout.strip().splitlines()[-1])
+    assert verdict["ok"] and verdict["served"] == 8 and not verdict["wedges"]
+    assert verdict["quarantines_logged"] >= 2
+    assert verdict["self_heals_logged"] >= 1
