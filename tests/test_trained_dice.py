@@ -32,7 +32,8 @@ def _args(**over):
     base = dict(
         dir=None, filters="4,8", cube=16, model="unet", seed=0, sampled=False,
         samples=3, train=True, epochs=10, batch=4, lr=0.02, patience=10,
-        val=10.0, n_train=6, n_test=2, assert_pts=0.5,
+        val=10.0, n_train=6, n_test=2, assert_pts=0.5, task="landmark",
+        seeds=1,
     )
     base.update(over)
     return argparse.Namespace(**base)
