@@ -84,3 +84,34 @@ def test_trained_dice_head_to_head_probunet(capsys):
     assert tool.run_trained_head_to_head(_args(model="probunet", epochs=12)) == 0
     out = capsys.readouterr().out
     assert "PASS" in out
+
+
+@pytest.mark.slow
+def test_trained_dice_hard_task_discriminates(capsys):
+    """CI-sized variant of the round-4 discriminating head-to-head
+    (VERDICT r3 item 1): on the ``hard`` synthetic family (intensity
+    overlap + partial-volume boundary, see ``synth_volumes_hard``) the
+    converged class-1 Dice must land BELOW the saturation ceiling — so
+    the comparison has discriminating power — while both sides still
+    learn the structure. The full-size multi-seed runs (cube 24,
+    filters 8,16, e40, seeds 0/101/202: |Δmean| = 0.14 pts at Dice
+    ~0.91) are recorded in docs/PARITY.md; at CI size the per-seed
+    spread is several points, so this variant asserts the task's
+    properties and a loose gross-divergence bound rather than the
+    0.5-pt criterion."""
+    tool = _load_tool()
+    args = _args(task="hard", epochs=15, cube=20, n_train=8, n_test=2,
+                 assert_pts=15.0)
+    rc = tool.run_trained_head_to_head(args)
+    out = capsys.readouterr().out
+    # parse the per-class means the tool prints
+    import re
+
+    ref = re.search(r"reference fused val dice: mean=\[([\d.eE+-]+)", out)
+    our = re.search(r"pmpu_tpu  fused val dice: mean=\[([\d.eE+-]+)", out)
+    assert ref and our, out
+    ref_d, our_d = float(ref.group(1)), float(our.group(1))
+    assert ref_d < 0.97, f"hard task saturated for reference ({ref_d})"
+    assert our_d < 0.97, f"hard task saturated for pmpu_tpu ({our_d})"
+    assert ref_d > 0.4 and our_d > 0.4, (ref_d, our_d)
+    assert rc == 0, out  # within the loose CI bound
