@@ -15,6 +15,7 @@ work unchanged under ``jit`` with sharded inputs.
 
 from __future__ import annotations
 
+import re
 from typing import Any
 
 import flax.struct
@@ -68,9 +69,54 @@ def create_train_state(task, key, sample_img, sample_msk, tx) -> TrainState:
     )
 
 
+_CONV_BN_PAIR = (
+    # (conv-key pattern, matching BatchNorm sibling key template)
+    (re.compile(r"^conv(\d+)$"), "bn{}"),                    # DoubleConv (unet.py)
+    (re.compile(r"^block(\d+)_conv(\d+)$"), "block{}_bn{}"),  # Encoder (prob_unet.py)
+)
+
+
+def mask_inert_bn_biases(params):
+    """``stop_gradient`` on conv biases whose output feeds a train-mode
+    BatchNorm in the same block (DoubleConv ``conv{i}``+``bn{i}``, encoder
+    ``block{i}_conv{j}``+``block{i}_bn{j}``).
+
+    Those gradients are EXACTLY zero analytically — the bias shifts the
+    batch mean that BN immediately subtracts (y = γ·(z+b−μ(z)−b)/σ + β) —
+    but autodiff still materializes each one as a full [B,H,W,C]→[C]
+    reduce over the conv's input cotangent. Round-4 trace of the flagship
+    train step: 15.3 of 139 ms/step (11%) spent summing analytically-zero
+    bias gradients. Masking drops the reduces from the program (the
+    cotangent is DCE'd); every other gradient is bit-identical (the bias
+    still participates in the forward; only its own cotangent is cut).
+    The reference keeps torch's default ``bias=True`` before BN
+    (``unet_parts.py:9-24``) and pays the same wasted reduces; divergence
+    (biases stay at init instead of random-walking by rounding noise) is
+    recorded in docs/DESIGN.md. Heads without BN (outc, fcomb layers,
+    prior/posterior μ/logσ) keep real bias gradients."""
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        out = {k: walk(v) for k, v in node.items()}
+        for k, v in out.items():
+            for pat, tmpl in _CONV_BN_PAIR:
+                m = pat.match(k)
+                if not m or tmpl.format(*m.groups()) not in out:
+                    continue
+                conv = v.get("conv") if isinstance(v, dict) else None
+                if isinstance(conv, dict) and "bias" in conv:
+                    out[k] = {**v, "conv": {
+                        **conv, "bias": jax.lax.stop_gradient(conv["bias"])}}
+        return out
+
+    return walk(params)
+
+
 def build_step_fn(
     task, tx, acc_steps: int = 1, sampler=sample_batch, augment=None,
     remat: bool = False, pmean_axis: str | None = None,
+    inert_bn_bias: bool = True,
 ):
     """The raw (unjitted) train-step function — shared by the single-device
     jit (``make_train_step``), the sharded jit
@@ -88,6 +134,9 @@ def build_step_fn(
     * augment: optional AugmentConfig — on-device augmentation applied to
       each microbatch inside the same XLA program
     * remat: jax.checkpoint the forward (activation memory for FLOPs)
+    * inert_bn_bias: drop the analytically-zero gradient reduces of
+      BN-preceded conv biases (see :func:`mask_inert_bn_biases`); default
+      on — bit-identical loss and non-bias gradients
     * pmean_axis: when run per-shard under shard_map, the mesh axis to
       all-reduce over — grads/batch_stats/metrics are pmean'd (each
       shard-microbatch counts as one microbatch, the same convention as
@@ -98,8 +147,14 @@ def build_step_fn(
         from pmpu_tpu.data.augment import augment_batch
 
     train_loss = task.train_loss
+    if inert_bn_bias:
+        _inner_loss = train_loss
+
+        def train_loss(params, *args):
+            return _inner_loss(mask_inert_bn_biases(params), *args)
+
     if remat:
-        train_loss = jax.checkpoint(task.train_loss, static_argnums=())
+        train_loss = jax.checkpoint(train_loss, static_argnums=())
 
     def loss_and_grads(params, batch_stats, img, msk, key):
         grad_fn = jax.value_and_grad(train_loss, has_aux=True)

@@ -147,3 +147,49 @@ def test_grad_accum_equivalence():
     p4 = jax.tree_util.tree_leaves(s4b.params)
     for a, b in zip(p1, p4):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0.08, atol=1e-3)
+
+
+def test_inert_bn_bias_mask():
+    """mask_inert_bn_biases (round 4): BN-preceded conv biases get exactly
+    zero gradients (they are analytically zero — BN subtracts the mean the
+    bias shifts — but cost 15.3 ms/step of reduces at batch 128 on v5e,
+    docs/PERF.md); all other gradients and the loss are bit-identical.
+    Heads without BN (fcomb layers, unet outc) keep real bias grads."""
+    import numpy as np
+
+    from pmpu_tpu.train.steps import mask_inert_bn_biases
+    from pmpu_tpu.train.tasks import make_task
+
+    img = jnp.asarray(np.random.default_rng(0).random((4, 16, 16, 1)), jnp.float32)
+    msk = jnp.asarray(np.random.default_rng(1).integers(0, 3, (4, 16, 16, 1)), jnp.int32)
+
+    task = make_task("probunet", num_filters=(4, 8))
+    v = task.init_variables(jax.random.key(0), img, msk)
+
+    def loss(p, masked):
+        q = mask_inert_bn_biases(p) if masked else p
+        return task.train_loss(q, v["batch_stats"], img, msk, jax.random.key(2))[0]
+
+    g0 = jax.grad(lambda p: loss(p, False))(v["params"])
+    g1 = jax.grad(lambda p: loss(p, True))(v["params"])
+    # masked: exactly zero; unmasked: tiny rounding noise (the "gradient")
+    assert float(jnp.abs(g1["unet"]["inc"]["conv0"]["conv"]["bias"]).max()) == 0.0
+    assert float(jnp.abs(g1["prior"]["encoder"]["block0_conv0"]["conv"]["bias"]).max()) == 0.0
+    assert float(jnp.abs(g0["unet"]["inc"]["conv0"]["conv"]["bias"]).max()) < 1e-3
+    # real biases keep real grads
+    assert float(jnp.abs(g1["fcomb"]["layer1"]["conv"]["bias"]).max()) > 0.0
+    # every kernel grad is bit-identical
+    k0 = jax.tree_util.tree_leaves(g0["unet"])
+    k1 = jax.tree_util.tree_leaves(g1["unet"])
+    assert all(bool((a == b).all()) for a, b in zip(k0, k1)
+               if a.ndim == 4)  # conv kernels
+    assert float(loss(v["params"], False)) == float(loss(v["params"], True))
+
+    # the plain unet task: outc (no BN) keeps its bias grad under the mask
+    t2 = make_task("unet", num_filters=(4, 8))
+    v2 = t2.init_variables(jax.random.key(0), img, msk)
+    g2 = jax.grad(lambda p: t2.train_loss(
+        mask_inert_bn_biases(p), v2["batch_stats"], img, msk,
+        jax.random.key(2))[0])(v2["params"])
+    assert float(jnp.abs(g2["outc"]["conv"]["conv"]["bias"]).max()) > 0.0
+    assert float(jnp.abs(g2["inc"]["conv1"]["conv"]["bias"]).max()) == 0.0
