@@ -304,6 +304,29 @@ def _train_eval_once(args, imgs_tr, lbls_tr, imgs_te, lbls_te, train_store,
         tnet = TProbUNet(1, 3, nf, latent_dim=6, no_convs_fcomb=4)
     else:
         tnet = TUNet(1, 3, nf)
+    init_ckpt = None
+    if getattr(args, "shared_init", False):
+        # common-random-numbers pairing (round 4): both sides start from
+        # the IDENTICAL initial weights (torch's init, converted), so the
+        # init-lottery component of the converged-Dice seed variance
+        # cancels in the per-seed delta; the remaining spread is shuffle/
+        # latent-draw trajectory noise, which is much smaller on this task.
+        import pickle
+        import tempfile
+
+        from pmpu_tpu.train import checkpoint as ckpt
+
+        kw = dict(no_convs_fcomb=4) if probunet else {}
+        v0 = ckpt.import_torch_state_dict(
+            {k: v.detach().clone() for k, v in tnet.state_dict().items()},
+            args.model, num_filters=nf, **kw,
+        )
+        v0 = jax.tree_util.tree_map(np.asarray, v0)
+        fd, init_ckpt = tempfile.mkstemp(suffix=".init.ckpt")
+        os.close(fd)
+        with open(init_ckpt, "wb") as f:
+            pickle.dump({"params": v0["params"],
+                         "batch_stats": v0["batch_stats"]}, f)
     reference_train(
         tnet, imgs_tr, lbls_tr, probunet=probunet, seed=seed, **hp
     )
@@ -317,8 +340,13 @@ def _train_eval_once(args, imgs_tr, lbls_tr, imgs_te, lbls_te, train_store,
         lrf=0.1, lrp=args.patience, om=0.9,
         val=args.val if args.val > 1 else args.val * 100.0,
         seed=seed, save_cp=False,
+        load=init_ckpt,
     )
-    state, task, _hist = train_net(cfg, train_store)
+    try:
+        state, task, _hist = train_net(cfg, train_store)
+    finally:
+        if init_ckpt:
+            os.unlink(init_ckpt)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     t_our_train = time.perf_counter() - t0
 
@@ -463,6 +491,11 @@ def main():
     ap.add_argument("--seeds", type=int, default=1,
                     help="independent training-seed pairs; the criterion "
                     "compares MEAN converged fused dice across seeds")
+    ap.add_argument("--shared-init", action="store_true", dest="shared_init",
+                    help="--train: start BOTH sides from the identical "
+                    "initial weights (torch init, converted) — common-"
+                    "random-numbers pairing that cancels the init-lottery "
+                    "seed variance from the per-seed delta")
     ap.add_argument("--assert-pts", type=float, default=0.5, dest="assert_pts",
                     help="max |val-dice delta| in points (0.5 pts = 0.005)")
     args = ap.parse_args()
