@@ -82,6 +82,8 @@ def main() -> int:
     p.add_argument("--warmup", type=int, default=5,
                    help="volumes served before the RSS baseline is taken")
     p.add_argument("--workdir", type=str, default=None)
+    p.add_argument("--filters", type=str, default="4,8",
+                   help="daemon --num-filters (full-width soak: 64,128,256,512,1024)")
     a = p.parse_args()
 
     work = a.workdir or tempfile.mkdtemp(prefix="pmpu_soak_")
@@ -96,7 +98,7 @@ def main() -> int:
     env.setdefault("PMPU_FORCE_CPU", "1")
     proc = subprocess.Popen(
         [sys.executable, os.path.join(REPO, "serve.py"), "-m", "unet",
-         "--num-filters", "4,8", "--watch", watch, "--out", out,
+         "--num-filters", a.filters, "--watch", watch, "--out", out,
          "--cube", str(s), "--poll", str(a.poll)],
         cwd=work, env=env, stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT, text=True,
