@@ -366,6 +366,10 @@ def _train_eval_once(args, imgs_tr, lbls_tr, imgs_te, lbls_te, train_store,
         res = ev.evaluate_volume(variables, img, lbl, key=jax.random.key(seed + i))
         our_rows.append(res["dice"][-1].tolist())
     ref_d, our_d = np.asarray(ref_rows), np.asarray(our_rows)
+    # per-volume class-1 rows: lets the caller separate eval-set noise
+    # (within-seed volume spread / sqrt(n_test)) from trajectory noise
+    print(f"    per-volume c1: ref={np.round(ref_d[:, 0], 4).tolist()} "
+          f"ours={np.round(our_d[:, 0], 4).tolist()}")
     return ref_d.mean(axis=0), our_d.mean(axis=0), t_ref_train, t_our_train
 
 
