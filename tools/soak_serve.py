@@ -77,6 +77,10 @@ def main() -> int:
                    help="interleave a corrupt/stall/oversize event every N volumes")
     p.add_argument("--timeout", type=float, default=300.0,
                    help="per-volume serve deadline (a miss counts as a wedge)")
+    p.add_argument("--first-timeout", type=float, default=0.0,
+                   dest="first_timeout",
+                   help="deadline for volume 0 only (covers the one-time XLA "
+                   "compile; 0 = max(900, --timeout))")
     p.add_argument("--rss-slack-mb", type=float, default=400.0, dest="rss_slack",
                    help="allowed RSS growth over the post-warmup baseline")
     p.add_argument("--warmup", type=int, default=5,
@@ -147,7 +151,8 @@ def main() -> int:
                                     a.timeout):
                         wedges.append(os.path.basename(stall))
 
-            if not wait_for(os.path.join(out, name), a.timeout):
+            vol_deadline = (a.first_timeout or max(900.0, a.timeout)) if i == 0 else a.timeout
+            if not wait_for(os.path.join(out, name), vol_deadline):
                 wedges.append(name)
             else:
                 served += 1
