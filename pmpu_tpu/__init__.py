@@ -17,7 +17,7 @@ evaluation — built TPU-first:
 
 import os as _os
 
-if _os.environ.get("PMPU_FORCE_CPU"):
+if _os.environ.get("PMPU_FORCE_CPU", "").lower() not in ("", "0", "false"):
     # must run before any JAX backend initialization (the image's
     # sitecustomize pins the axon TPU platform regardless of JAX_PLATFORMS)
     import jax as _jax
