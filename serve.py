@@ -183,6 +183,32 @@ def _malloc_trim():
         pass
 
 
+def _diag(served: int) -> None:
+    """PMPU_SERVE_DIAG=1: log live-jax-array census + RSS per served batch.
+
+    Separates 'Python code retains device arrays' (live count grows) from
+    'native client/allocator leak' (flat count, growing RSS) — the round-4
+    soak diagnosis hook."""
+    import gc
+
+    import jax
+
+    gc.collect()
+    live = jax.live_arrays()
+    n_bytes = sum(getattr(a, "nbytes", 0) for a in live)
+    rss = -1.0
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    rss = int(line.split()[1]) / 1024.0
+                    break
+    except OSError:
+        pass
+    logging.info("diag: served=%d live_arrays=%d live_mb=%.1f rss_mb=%.1f",
+                 served, len(live), n_bytes / 1e6, rss)
+
+
 def _serve_loop(args, cfg, task, variables, ev, cube, seen, sizes, key,
                 served, writer):
     import jax
@@ -329,6 +355,8 @@ def _serve_loop(args, cfg, task, variables, ev, cube, seen, sizes, key,
                     len(names), dt, dt / len(names), served,
                 )
                 _malloc_trim()  # cap the glibc arena RSS creep (soak finding)
+                if os.environ.get("PMPU_SERVE_DIAG"):
+                    _diag(served)
         if args.once:
             # batch-job contract: non-zero exit when any volume failed to
             # load OR was rejected oversize, so callers can detect partial

@@ -88,6 +88,9 @@ def main() -> int:
     p.add_argument("--workdir", type=str, default=None)
     p.add_argument("--filters", type=str, default="4,8",
                    help="daemon --num-filters (full-width soak: 64,128,256,512,1024)")
+    p.add_argument("--rss-log", type=str, default=None, dest="rss_log",
+                   help="write one 'volume_index served rss_mb' line per good "
+                   "volume (leak-shape diagnosis)")
     a = p.parse_args()
 
     work = a.workdir or tempfile.mkdtemp(prefix="pmpu_soak_")
@@ -117,7 +120,9 @@ def main() -> int:
 
     interval = (a.minutes * 60.0 / a.volumes) if a.minutes else 0.0
     wedges, served, faults = [], 0, 0
+    stalls_quarantined = 0
     rss_base = rss_peak = -1.0
+    rss_f = open(a.rss_log, "w") if a.rss_log else None
     verdict = {}
     try:
         for i in range(a.volumes):
@@ -143,9 +148,16 @@ def main() -> int:
                     with open(stall, "wb") as f:
                         f.write(blob[: len(blob) // 2])
                         f.flush()
-                        # ≥3 polls at the stalled size → 3 failed loads →
-                        # quarantine; the completed write must self-heal it
-                        time.sleep(max(4 * a.poll, 1.0))
+                        # hold the stall until the daemon actually QUARANTINES
+                        # the file (3 failed loads), so the completed write
+                        # below genuinely exercises the self-heal path — a
+                        # fixed sleep undershoots whenever inference delays
+                        # the poll cadence (the round-4 verify soak served all
+                        # stalls pre-quarantine: 0 heals tested)
+                        if _wait_for_log(log_lines,
+                                         f"quarantining {os.path.basename(stall)}",
+                                         max(20 * a.poll, 30.0)):
+                            stalls_quarantined += 1
                         f.write(blob[len(blob) // 2:])
                     if not wait_for(os.path.join(out, os.path.basename(stall)),
                                     a.timeout):
@@ -163,6 +175,9 @@ def main() -> int:
             rss_peak = max(rss_peak, r)
             if served == a.warmup and rss_base < 0:
                 rss_base = r
+            if rss_f is not None:
+                rss_f.write(f"{i} {served} {r:.1f}\n")
+                rss_f.flush()
             if interval:
                 time.sleep(max(0.0, t_next - time.time()))
 
@@ -181,16 +196,22 @@ def main() -> int:
             "served": served,
             "faults_injected": faults,
             "quarantines_logged": quarantines,
+            "stalls_quarantined": stalls_quarantined,
             "self_heals_logged": heals,
             "wedges": wedges,
             "rss_base_mb": round(rss_base, 1),
             "rss_peak_mb": round(rss_peak, 1),
             "rss_bounded": bool(rss_ok),
             "daemon_exit": rc,
+            # every stall the daemon quarantined must have self-healed (its
+            # served output is separately asserted via wait_for/wedges)
             "ok": bool(not wedges and rss_ok and alive and rc == 0
-                       and served == a.volumes),
+                       and served == a.volumes
+                       and heals >= stalls_quarantined),
         }
     finally:
+        if rss_f is not None:
+            rss_f.close()
         if proc.poll() is None:
             proc.kill()
         if not a.workdir:
@@ -199,6 +220,19 @@ def main() -> int:
             shutil.rmtree(work, ignore_errors=True)
     print(json.dumps(verdict))
     return 0 if verdict.get("ok") else 1
+
+
+def _wait_for_log(log_lines: list, needle: str, timeout: float) -> bool:
+    """True once ``needle`` appears in the daemon's captured log lines."""
+    t0 = time.time()
+    scanned = 0
+    while time.time() - t0 < timeout:
+        n = len(log_lines)
+        if any(needle in ln for ln in log_lines[scanned:n]):
+            return True
+        scanned = n
+        time.sleep(0.1)
+    return False
 
 
 def _nii_bytes(vol: np.ndarray) -> bytes:
