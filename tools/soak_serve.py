@@ -91,6 +91,9 @@ def main() -> int:
     p.add_argument("--rss-log", type=str, default=None, dest="rss_log",
                    help="write one 'volume_index served rss_mb' line per good "
                    "volume (leak-shape diagnosis)")
+    p.add_argument("--daemon-log", type=str, default=None, dest="daemon_log",
+                   help="tee the daemon's stdout/stderr to this file (pairs "
+                   "with PMPU_SERVE_DIAG=1 for the live-array census)")
     a = p.parse_args()
 
     work = a.workdir or tempfile.mkdtemp(prefix="pmpu_soak_")
@@ -112,10 +115,16 @@ def main() -> int:
     )
     # drain the daemon's log in a thread so its pipe never fills and blocks it
     log_lines: list = []
-    t_log = threading.Thread(
-        target=lambda: log_lines.extend(iter(proc.stdout.readline, "")),
-        daemon=True,
-    )
+    dlog_f = open(a.daemon_log, "w") if a.daemon_log else None
+
+    def _drain():
+        for ln in iter(proc.stdout.readline, ""):
+            log_lines.append(ln)
+            if dlog_f is not None:
+                dlog_f.write(ln)
+                dlog_f.flush()
+
+    t_log = threading.Thread(target=_drain, daemon=True)
     t_log.start()
 
     interval = (a.minutes * 60.0 / a.volumes) if a.minutes else 0.0
@@ -212,6 +221,8 @@ def main() -> int:
     finally:
         if rss_f is not None:
             rss_f.close()
+        if dlog_f is not None:
+            dlog_f.close()
         if proc.poll() is None:
             proc.kill()
         if not a.workdir:
