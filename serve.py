@@ -16,6 +16,14 @@ server skips the 20–40 s program compile.
 ``--once`` processes the current directory contents and exits (batch jobs,
 tests). Files are picked up when their size is stable across two scans
 (half-written uploads are left alone).
+
+Restarts are idempotent: inputs whose outputs already exist and are at
+least as new as the input are skipped at startup (crash recovery, redeploys,
+resumable ``--once`` batches); a re-upload under the same name is re-served.
+``--rss-limit-mb`` re-execs the daemon between batches when host RSS exceeds
+the limit — the bounded-RSS answer to the tunneled TPU client's ~1-upload-
+per-volume host staging leak (diagnosed in the docs/PERF.md soak section;
+CPU serving does not leak and needs no limit).
 """
 
 import argparse
@@ -71,6 +79,14 @@ def get_args():
     p.add_argument("--num-filters", dest="num_filters", type=parse_num_filters,
                    default=(64, 128, 256, 512, 1024),
                    help="comma-separated encoder widths (torch checkpoints)")
+    p.add_argument("--rss-limit-mb", dest="rss_limit_mb", type=float, default=0.0,
+                   help="re-exec the daemon for a fresh device client when "
+                   "its RSS exceeds this after a served batch (0 = off). "
+                   "Bounds the tunneled-TPU client's ~8 MB/volume host "
+                   "staging creep (docs/PERF.md soak section); restarts are "
+                   "idempotent — inputs whose outputs are already current "
+                   "are skipped at startup. Use an explicit --cube so the "
+                   "restarted program shape matches")
     return p.parse_args()
 
 
@@ -109,6 +125,13 @@ def _stable_new_files(watch, seen, sizes):
 
 
 def main() -> int:
+    # a --rss-limit-mb re-exec blocks SIGINT across the execv so an operator
+    # interrupt can't kill the fresh interpreter mid-site-import (the axon
+    # sitecustomize imports jax at startup); unblock here, where a pending
+    # interrupt raises straight into __main__'s clean-exit guard
+    import signal
+
+    signal.pthread_sigmask(signal.SIG_UNBLOCK, {signal.SIGINT})
     logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
     args = get_args()
     from pmpu_tpu.utils.profiling import enable_compile_cache
@@ -183,6 +206,35 @@ def _malloc_trim():
         pass
 
 
+def _rss_mb() -> float:
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 1024.0
+    except OSError:
+        pass
+    return -1.0
+
+
+def _served_and_current(args, n: str) -> bool:
+    """True when ``n``'s output(s) already exist and are at least as new as
+    the input — the startup idempotency gate that makes daemon restarts
+    (crash, redeploy, --rss-limit-mb re-exec) skip the already-served
+    backlog instead of re-segmenting the whole watch directory. A re-upload
+    under the same name (newer mtime) is re-served."""
+    try:
+        im = os.path.getmtime(os.path.join(args.watch, n))
+        if os.path.getmtime(os.path.join(args.out, n)) < im:
+            return False
+        if args.uncertainty and os.path.getmtime(
+                os.path.join(args.uncertainty, n)) < im:
+            return False
+    except OSError:
+        return False
+    return True
+
+
 def _diag(served: int) -> None:
     """PMPU_SERVE_DIAG=1: log live-jax-array census + RSS per served batch.
 
@@ -196,17 +248,8 @@ def _diag(served: int) -> None:
     gc.collect()
     live = jax.live_arrays()
     n_bytes = sum(getattr(a, "nbytes", 0) for a in live)
-    rss = -1.0
-    try:
-        with open("/proc/self/status") as f:
-            for line in f:
-                if line.startswith("VmRSS:"):
-                    rss = int(line.split()[1]) / 1024.0
-                    break
-    except OSError:
-        pass
     logging.info("diag: served=%d live_arrays=%d live_mb=%.1f rss_mb=%.1f",
-                 served, len(live), n_bytes / 1e6, rss)
+                 served, len(live), n_bytes / 1e6, _rss_mb())
 
 
 def _serve_loop(args, cfg, task, variables, ev, cube, seen, sizes, key,
@@ -218,6 +261,15 @@ def _serve_loop(args, cfg, task, variables, ev, cube, seen, sizes, key,
     quarantined: dict = {}  # name → size when quarantined (-1 = unknown)
     rejected = 0  # oversize rejections (counted into --once's exit code)
     load_pool = None  # lazy lifetime ThreadPoolExecutor (see below)
+
+    # idempotent (re)start: don't re-segment inputs whose outputs are
+    # already on disk and current (daemon redeploys, --rss-limit-mb re-exec)
+    skipped = [n for n in filter(nifti.is_nifti_name, os.listdir(args.watch))
+               if _served_and_current(args, n)]
+    if skipped:
+        seen.update(skipped)
+        logging.info("skipping %d already-served input(s) with current "
+                     "outputs", len(skipped))
 
     def _quarantine(n):
         seen.add(n)
@@ -357,6 +409,26 @@ def _serve_loop(args, cfg, task, variables, ev, cube, seen, sizes, key,
                 _malloc_trim()  # cap the glibc arena RSS creep (soak finding)
                 if os.environ.get("PMPU_SERVE_DIAG"):
                     _diag(served)
+                if args.rss_limit_mb and _rss_mb() > args.rss_limit_mb:
+                    # the tunneled device client leaks ~1 upload of host
+                    # staging per volume (live-array census flat — see the
+                    # docs/PERF.md soak section); a between-batch re-exec is
+                    # the bounded-RSS answer until the client is fixed. No
+                    # device program is in flight here (the batch is fully
+                    # fetched) and pending exports are drained first.
+                    logging.warning(
+                        "rss %.0f MB exceeds --rss-limit-mb %.0f after %d "
+                        "served; re-exec for a fresh device client",
+                        _rss_mb(), args.rss_limit_mb, served)
+                    writer.close()
+                    sys.stdout.flush()
+                    sys.stderr.flush()
+                    # keep an operator SIGINT pending (not fatal) across the
+                    # fresh interpreter's import window; main() unblocks it
+                    import signal
+
+                    signal.pthread_sigmask(signal.SIG_BLOCK, {signal.SIGINT})
+                    os.execv(sys.executable, [sys.executable] + sys.argv)
         if args.once:
             # batch-job contract: non-zero exit when any volume failed to
             # load OR was rejected oversize, so callers can detect partial
@@ -366,4 +438,10 @@ def _serve_loop(args, cfg, task, variables, ev, cube, seen, sizes, key,
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    try:
+        sys.exit(main())
+    except KeyboardInterrupt:
+        # SIGINT is a clean shutdown in ANY phase — including the jax-import
+        # window of a --rss-limit-mb re-exec, where _serve_loop's handler
+        # isn't installed yet
+        sys.exit(0)

@@ -444,3 +444,76 @@ def test_serve_soak_ci_sized(tmp_path):
     assert verdict["ok"] and verdict["served"] == 8 and not verdict["wedges"]
     assert verdict["quarantines_logged"] >= 2
     assert verdict["self_heals_logged"] >= 1
+
+
+@pytest.mark.slow
+def test_cli_serve_rss_limit_reexec_idempotent(tmp_path):
+    """--rss-limit-mb watchdog (round-4 soak finding: the tunneled TPU
+    client leaks ~1 H2D upload of host staging per volume — bare
+    device_put repro in docs/PERF.md; CPU does not leak): with an absurdly
+    low limit the daemon re-execs after every served batch, the restarted
+    process skips already-served inputs (idempotent startup), still picks
+    up NEW volumes, and SIGINT exits 0 even if it lands mid-restart."""
+    import signal
+    import time
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    out = tmp_path / "out"
+    rng = np.random.default_rng(7)
+    nifti.save(watch / "v0.nii", rng.random((12, 12, 12)).astype(np.float32))
+    env = dict(os.environ, PMPU_FORCE_CPU="1")
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "serve.py"), "-m", "unet",
+         "--num-filters", "4,8", "--watch", str(watch), "--out", str(out),
+         "--cube", "12", "--poll", "0.2", "--rss-limit-mb", "1"],
+        cwd=tmp_path, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        assert _wait_for_nifti(out / "v0.nii", 300) is not None
+        # the re-exec'd daemon must still serve NEW volumes
+        nifti.save(watch / "v1.nii", rng.random((12, 12, 12)).astype(np.float32))
+        assert _wait_for_nifti(out / "v1.nii", 300) is not None
+        time.sleep(1.0)  # likely mid-restart now (limit 1 MB re-execs every batch)
+        proc.send_signal(signal.SIGINT)
+        rc = proc.wait(timeout=120)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    log = proc.stdout.read()
+    assert rc == 0, log
+    assert "re-exec for a fresh device client" in log
+    assert "skipping 1 already-served" in log
+
+
+@pytest.mark.slow
+def test_cli_serve_once_resumable(tmp_path):
+    """A re-run --once batch skips inputs whose outputs are already current
+    (idempotent startup gate) and re-serves a re-uploaded input whose mtime
+    is newer than its output."""
+    import time
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    out = tmp_path / "out"
+    rng = np.random.default_rng(9)
+    for i in range(2):
+        nifti.save(watch / f"v{i}.nii", rng.random((12, 12, 12)).astype(np.float32))
+    args = ["-m", "unet", "--num-filters", "4,8", "--watch", str(watch),
+            "--out", str(out), "--cube", "12", "--once"]
+    run_cli("serve.py", *args, cwd=tmp_path)
+    mt = {p.name: p.stat().st_mtime_ns for p in out.iterdir()}
+    assert len(mt) == 2
+
+    res = run_cli("serve.py", *args, cwd=tmp_path)
+    log = res.stdout + res.stderr
+    assert "skipping 2 already-served" in log
+    assert {p.name: p.stat().st_mtime_ns for p in out.iterdir()} == mt
+
+    # same name re-uploaded (newer mtime) → re-served
+    time.sleep(0.05)
+    nifti.save(watch / "v0.nii", rng.random((12, 12, 12)).astype(np.float32))
+    run_cli("serve.py", *args, cwd=tmp_path)
+    assert (out / "v0.nii").stat().st_mtime_ns > mt["v0.nii"]
+    assert (out / "v1.nii").stat().st_mtime_ns == mt["v1.nii"]

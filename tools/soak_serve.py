@@ -94,6 +94,10 @@ def main() -> int:
     p.add_argument("--daemon-log", type=str, default=None, dest="daemon_log",
                    help="tee the daemon's stdout/stderr to this file (pairs "
                    "with PMPU_SERVE_DIAG=1 for the live-array census)")
+    p.add_argument("--serve-arg", action="append", default=[], dest="serve_args",
+                   help="extra flag passed through to the serve.py daemon "
+                   "(repeatable), e.g. --serve-arg=--bf16 "
+                   "--serve-arg=--input-dtype --serve-arg=uint8")
     a = p.parse_args()
 
     work = a.workdir or tempfile.mkdtemp(prefix="pmpu_soak_")
@@ -109,7 +113,7 @@ def main() -> int:
     proc = subprocess.Popen(
         [sys.executable, os.path.join(REPO, "serve.py"), "-m", "unet",
          "--num-filters", a.filters, "--watch", watch, "--out", out,
-         "--cube", str(s), "--poll", str(a.poll)],
+         "--cube", str(s), "--poll", str(a.poll)] + a.serve_args,
         cwd=work, env=env, stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT, text=True,
     )
