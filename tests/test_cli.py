@@ -259,11 +259,11 @@ def test_cli_serve_watch_mode_steady_state(tmp_path):
             f.flush()
             time.sleep(1.5)  # ≥3 failed loads at poll 0.2 → quarantined
             f.write(blob[400:])
-        seg1 = _wait_for_nifti(out / "v1.nii", 120)
+        seg1 = _wait_for_nifti(out / "v1.nii", 300)
         assert seg1.shape == (16, 16, 16)
 
         proc.send_signal(signal.SIGINT)
-        rc = proc.wait(timeout=60)
+        rc = proc.wait(timeout=120)
     finally:
         if proc.poll() is None:
             proc.kill()
@@ -406,11 +406,11 @@ def test_cli_serve_oversize_self_heals_on_replacement(tmp_path):
         assert not (out / "v.nii").exists()
         # replace with a conforming volume of a different size
         nifti.save(watch / "v.nii", rng.random((16, 16, 16)).astype(np.float32))
-        _wait_for_log("re-inspecting", 120)
+        _wait_for_log("re-inspecting", 300)
         seg = _wait_for_nifti(out / "v.nii", 300)
         assert seg.shape == (16, 16, 16)
         proc.send_signal(signal.SIGINT)
-        rc = proc.wait(timeout=60)
+        rc = proc.wait(timeout=120)
     finally:
         if proc.poll() is None:
             proc.kill()
