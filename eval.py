@@ -45,7 +45,8 @@ def main() -> int:
     if cfg.n_classes is None:
         cfg.n_classes = 3
 
-    store = VolumeStore.from_dirs(os.path.join(cfg.dir, "images"), os.path.join(cfg.dir, "labels"))
+    store = VolumeStore.from_dirs(os.path.join(cfg.dir, "images"), os.path.join(cfg.dir, "labels"),
+                                  mmap_dir=cfg.mmap_store)
     logging.info("%d volumes, cube %d", len(store), store.cube)
 
     import jax

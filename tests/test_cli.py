@@ -307,6 +307,34 @@ def test_eval_cli_loads_reference_torch_checkpoint(tmp_path):
     assert "avg volume" in res.stdout
 
 
+def test_eval_cli_mmap_store_matches_in_ram(tmp_path):
+    """eval.py --mmap-store (out-of-core pool) produces the identical fused
+    report: the memmap-backed VolumeStore is bit-parity with in-RAM (pinned
+    at the store level in test_data.py; this pins the eval CLI wiring)."""
+    import torch
+
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from torch_mirror import TUNet
+
+    make_dataset(tmp_path / "data")
+    tnet = TUNet(1, 3, (4, 8))
+    torch.save(tnet.state_dict(), tmp_path / "ref_ckpt.pt")
+
+    def report(*extra):
+        res = run_cli(
+            "eval.py", "-m", "unet", "-f", str(tmp_path / "ref_ckpt.pt"),
+            "-d", str(tmp_path / "data" / "test"), "--num-filters", "4,8",
+            "--eval-batch", "8", *extra, cwd=tmp_path,
+        )
+        return [ln for ln in res.stdout.splitlines() if "volume" in ln.lower()]
+
+    in_ram = report()
+    mmapped = report("--mmap-store", str(tmp_path / "pool"))
+    assert mmapped == in_ram and in_ram
+    assert (tmp_path / "pool" / "manifest.json").exists() or any(
+        (tmp_path / "pool").iterdir())
+
+
 @pytest.mark.slow
 def test_eval_cli_ged_and_uncertainty(tmp_path):
     make_dataset(tmp_path / "data")
