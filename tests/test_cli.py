@@ -331,8 +331,10 @@ def test_eval_cli_mmap_store_matches_in_ram(tmp_path):
     in_ram = report()
     mmapped = report("--mmap-store", str(tmp_path / "pool"))
     assert mmapped == in_ram and in_ram
-    assert (tmp_path / "pool" / "manifest.json").exists() or any(
-        (tmp_path / "pool").iterdir())
+    # the eval run completes the pool build, so the manifest must exist; a
+    # missing pool dir (--mmap-store silently ignored) fails as an assert,
+    # not a FileNotFoundError from iterdir (ADVICE r4)
+    assert (tmp_path / "pool" / "manifest.json").exists()
 
 
 @pytest.mark.slow

@@ -96,6 +96,44 @@ def reference_eval_volume(tnet, vol: np.ndarray, n_classes: int = 3, probunet=Fa
     return fused.numpy()  # [X,C,Y,Z]
 
 
+def reference_ged_samples(tnet, vol: np.ndarray, n_samples: int, seed: int):
+    """N fused multi-view segmentation SAMPLES from the torch mirror — the
+    per-sample analogue of :func:`reference_eval_volume`: each slice's UNet
+    features and prior run once, ``n_samples`` independent prior draws are
+    decoded separately (NOT averaged — the CVAE's sample-diversity semantics,
+    reference ``probabilistic_unet.py:225-240`` "For the GED it is important
+    to take a sample"), softmaxed per sample, reassembled with the
+    reference's permutes (``eval.py:182,188``), mean-fused across views per
+    sample, argmaxed. Returns (n_samples, S, S, S) int64."""
+    import torch
+
+    tnet.eval()
+    torch.manual_seed(seed)
+    s = vol.shape[0]
+    per_slice = []  # (n_samples, C, H, W) per slice
+    with torch.no_grad():
+        for view in range(3):
+            for i in range(s):
+                sl = _slice_of(vol, view, i)
+                m = sl.max()
+                sln = (np.ascontiguousarray(sl) / m if m != 0 else sl).astype(np.float32)
+                x = torch.from_numpy(sln)[None, None]
+                feats, (mu_p, ls_p), _ = tnet(x, torch.zeros_like(x))
+                probs = []
+                for _ in range(n_samples):
+                    z = mu_p + torch.exp(ls_p) * torch.randn_like(mu_p)
+                    probs.append(torch.softmax(tnet.fcomb(feats, z), dim=1))
+                per_slice.append(torch.cat(probs))
+    fused = []
+    for k in range(n_samples):
+        sk = [p[k] for p in per_slice]  # (C,H,W) each
+        v1 = torch.stack(sk[0:s])  # [X,C,Y,Z]
+        v2 = torch.stack(sk[s : 2 * s]).permute(2, 1, 0, 3)
+        v3 = torch.stack(sk[2 * s :]).permute(2, 1, 3, 0)
+        fused.append(((v1 + v2 + v3) / 3.0).argmax(dim=1))
+    return torch.stack(fused).numpy()
+
+
 def synth_volumes(n: int, s: int, seed: int):
     """Synthetic head-to-head dataset: random bright sphere = class 1
     (intensity ~0.85), bright border faces = class 2 (intensity 1.0),
@@ -370,7 +408,32 @@ def _train_eval_once(args, imgs_tr, lbls_tr, imgs_te, lbls_te, train_store,
     # (within-seed volume spread / sqrt(n_test)) from trajectory noise
     print(f"    per-volume c1: ref={np.round(ref_d[:, 0], 4).tolist()} "
           f"ours={np.round(our_d[:, 0], 4).tolist()}")
-    return ref_d.mean(axis=0), our_d.mean(axis=0), t_ref_train, t_our_train
+
+    # --- GED^2 sample-diversity head-to-head (VERDICT r4 item 1) ----------
+    # N independent prior-sample segmentations per held-out volume on each
+    # side, GED^2 = 2 E[d(s,y)] - E[d(s,s')] - E[d(y,y')] with d = 1-IoU
+    # (ops/metrics.py:57); the trained comparison of the CVAE's actual
+    # point — distributional match of the learned prior — not just the mean
+    # segmentation that Dice pins.
+    ged_rows = None
+    n_ged = int(getattr(args, "ged", 0) or 0)
+    if probunet and n_ged > 0:
+        from pmpu_tpu.ops.metrics import generalized_energy_distance
+
+        ged_rows = []
+        for i, (img, lbl) in enumerate(zip(imgs_te, lbls_te)):
+            ref_s = reference_ged_samples(tnet, img, n_ged, seed=seed + 7000 + i)
+            g_ref = float(generalized_energy_distance(
+                jnp.asarray(ref_s), jnp.asarray(lbl)[None], 3))
+            g_our = float(ev.ged_volume(
+                variables, img, lbl, n_ged,
+                key=jax.random.fold_in(jax.random.key(seed), 9000 + i)))
+            ged_rows.append((g_ref, g_our))
+        ged_rows = np.asarray(ged_rows)
+        print(f"    GED^2({n_ged}) per-volume: "
+              f"ref={np.round(ged_rows[:, 0], 4).tolist()} "
+              f"ours={np.round(ged_rows[:, 1], 4).tolist()}")
+    return ref_d.mean(axis=0), our_d.mean(axis=0), t_ref_train, t_our_train, ged_rows
 
 
 def run_trained_head_to_head(args):
@@ -428,21 +491,26 @@ def run_trained_head_to_head(args):
         f"train_volumes={len(imgs_tr)} test_volumes={len(imgs_te)} hp={hp}"
     )
 
-    ref_means, our_means = [], []
+    ref_means, our_means, ged_seed_rows = [], [], []
     t_ref = t_our = 0.0
     for k in range(args.seeds):
         seed = args.seed + 101 * k
-        r, o, tr_s, to_s = _train_eval_once(
+        r, o, tr_s, to_s, ged_rows = _train_eval_once(
             args, imgs_tr, lbls_tr, imgs_te, lbls_te, train_store, hp, seed
         )
         ref_means.append(r)
         our_means.append(o)
         t_ref += tr_s
         t_our += to_s
-        print(
+        msg = (
             f"  seed {seed}: reference fused dice={np.round(r, 4)} "
             f"pmpu_tpu={np.round(o, 4)}"
         )
+        if ged_rows is not None:
+            g = ged_rows.mean(axis=0)
+            ged_seed_rows.append(g)
+            msg += f"  GED^2 ref={g[0]:.4f} ours={g[1]:.4f}"
+        print(msg)
 
     ref_d, our_d = np.asarray(ref_means), np.asarray(our_means)
     delta = np.abs(our_d.mean(axis=0) - ref_d.mean(axis=0))
@@ -454,6 +522,22 @@ def run_trained_head_to_head(args):
     )
     print(f"train wall: reference(torch/cpu)={t_ref:.1f}s ours={t_our:.1f}s")
     ok = bool((delta <= args.assert_pts / 100.0).all())
+    if ged_seed_rows:
+        # GED^2 agreement criterion: |Δmean| within the larger across-seed
+        # spread (the trained-diversity analogue of the Dice criterion — two
+        # runs of the SAME framework differ by ~σ_seed, so demanding less
+        # than that of cross-framework agreement would be noise-chasing)
+        g = np.asarray(ged_seed_rows)  # (seeds, 2) = (ref, ours)
+        g_ref_m, g_our_m = g[:, 0].mean(), g[:, 1].mean()
+        g_sd = max(g[:, 0].std(), g[:, 1].std())
+        g_delta = abs(g_our_m - g_ref_m)
+        print(f"GED^2 across seeds: ref={g_ref_m:.4f}±{g[:, 0].std():.4f} "
+              f"ours={g_our_m:.4f}±{g[:, 1].std():.4f} |Δmean|={g_delta:.4f} "
+              f"(criterion: ≤ max σ_seed = {g_sd:.4f}"
+              + (", single seed: informational)" if len(g) < 2 else ")"))
+        if len(g) >= 2 and g_delta > g_sd:
+            print("GED^2 FAIL - |Δmean| exceeds the across-seed spread")
+            ok = False
     if args.task == "hard" and float(ref_d.mean(axis=0)[0]) > 0.97:
         # guard the guard: if the hard family ever saturates, the pass is
         # a ceiling effect again — fail loudly rather than report a hollow PASS
@@ -502,6 +586,11 @@ def main():
                     "seed variance from the per-seed delta")
     ap.add_argument("--assert-pts", type=float, default=0.5, dest="assert_pts",
                     help="max |val-dice delta| in points (0.5 pts = 0.005)")
+    ap.add_argument("--ged", type=int, default=0,
+                    help="--train + probunet: ALSO run the trained GED^2 "
+                    "sample-diversity head-to-head with N prior-sample "
+                    "segmentations per held-out volume on each side "
+                    "(criterion: |Δmean| within the across-seed spread)")
     args = ap.parse_args()
 
     if args.train:
