@@ -92,6 +92,15 @@ class Config:
     # bf16 iff --bf16), "float32", "bfloat16", "uint8" (8-bit fixed point
     # vs per-volume max — half of bf16's upload bytes; the on-device
     # per-slice max normalization cancels the scale; see VolumeEvaluator)
+    autosave_minutes: float = 0.0  # time-based mid-epoch checkpoint cadence:
+    # save a consistent (state, plateau, RNG-key) snapshot to
+    # {net}_autosave.pt every N minutes of the train phase, so preemption
+    # of a long epoch loses at most N minutes (0 = off)
+    rss_limit_mb: float = 0.0  # training analogue of serve.py's bounded-RSS
+    # watchdog: when host RSS exceeds this at an epoch boundary, save a
+    # resume checkpoint and raise RssLimitExceeded — train.py re-execs
+    # itself with `-f <ckpt> -e <remaining>` for a fresh device client
+    # (the tunneled client's staging leak, docs/PERF.md soak section)
     slice_filter: bool = True  # drop all-background slices from TRAINING
     # (reference semantics, mri_dataset.py:45-47). False = include them:
     # whole-volume eval runs every slice (eval.py:100), and a model that
@@ -194,6 +203,16 @@ def _add_extension_args(p: argparse.ArgumentParser):
                    help="per-epoch checkpoints via async Orbax: serialization "
                    "overlaps the next epoch instead of stalling on the "
                    "device->host state fetch (directory format)")
+    g.add_argument("--autosave-minutes", dest="autosave_minutes", type=float,
+                   default=0.0,
+                   help="save a consistent {net}_autosave.pt snapshot every N "
+                   "minutes of the train phase (preemption of a long epoch "
+                   "loses at most N minutes; 0 = off)")
+    g.add_argument("--rss-limit-mb", dest="rss_limit_mb", type=float, default=0.0,
+                   help="bounded-RSS training: when host RSS exceeds this at "
+                   "an epoch boundary, checkpoint and re-exec with "
+                   "-f <ckpt> -e <remaining> (fresh device client; the "
+                   "serve.py watchdog's train-loop analogue)")
     g.add_argument("--elastic-alpha", dest="elastic_alpha", type=float, default=0.0)
     g.add_argument("--eval-mode", dest="eval_mode", type=str, default="sequential",
                    choices=["sequential", "batched"],

@@ -18,6 +18,7 @@ from __future__ import annotations
 import contextlib
 import logging
 import os
+import time
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +40,36 @@ from pmpu_tpu.utils import MetricWriter, mask_to_image
 from pmpu_tpu.utils.profiling import StepTimer, enable_nan_checks, trace
 
 log = logging.getLogger(__name__)
+
+
+class RssLimitExceeded(Exception):
+    """Raised at an epoch boundary when host RSS exceeds ``--rss-limit-mb``,
+    AFTER a resume checkpoint was written. Carries what the CLI needs to
+    re-exec itself (``train.py`` catches this and execs
+    ``-f checkpoint_path -e epochs_remaining``) — the training analogue of
+    ``serve.py``'s bounded-RSS watchdog for the tunneled device client's
+    host staging leak (docs/PERF.md soak section)."""
+
+    def __init__(self, checkpoint_path: str, epochs_done: int, rss_mb: float):
+        self.checkpoint_path = checkpoint_path
+        self.epochs_done = epochs_done
+        self.rss_mb = rss_mb
+        super().__init__(
+            f"host RSS {rss_mb:.0f} MB over limit after epoch {epochs_done}; "
+            f"resume checkpoint at {checkpoint_path}"
+        )
+
+
+def _rss_mb() -> float:
+    """Host resident set size in MB (-1 when /proc is unavailable)."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 1024.0
+    except OSError:
+        pass
+    return -1.0
 
 
 def split_indices(n: int, val_percent: float, rng: np.random.Generator):
@@ -301,6 +332,23 @@ def train_net(cfg: Config, store: VolumeStore, interrupt_flag=None):
 
     model_extra = {"model_config": _model_config(cfg, task)}
     latest = {"state": state}
+    # SIGTERM = preemption (TPU fleets preempt with SIGTERM, not SIGINT;
+    # the reference's emergency save only fires on Ctrl-C,
+    # train.py:271-277): a handler sets a flag that the step loops poll,
+    # raising KeyboardInterrupt → the SAME consistent key/state
+    # INTERRUPTED.pth save. Installable only on the main thread; elsewhere
+    # (e.g. a worker thread) the caller's handler is left untouched.
+    import signal
+
+    sigterm_hit = {"v": False}
+    try:
+        prev_term = signal.signal(
+            signal.SIGTERM, lambda *_: sigterm_hit.__setitem__("v", True)
+        )
+    except ValueError:
+        prev_term = None
+    user_flag = interrupt_flag
+    interrupt_flag = lambda: sigterm_hit["v"] or bool(user_flag and user_flag())  # noqa: E731
     ctx = trace(cfg.profile_dir) if cfg.profile_dir else contextlib.nullcontext()
     try:
         with ctx:
@@ -327,13 +375,22 @@ def train_net(cfg: Config, store: VolumeStore, interrupt_flag=None):
                 "INTERRUPTED.pth", latest["state"], plateau,
                 latest.get("key", key), extra=model_extra,
             )
-            log.info("Saved interrupt")
+            log.info(
+                "Saved interrupt%s",
+                " (SIGTERM preemption)" if sigterm_hit["v"] else "",
+            )
         except RuntimeError as e:
             log.warning(
                 "interrupt landed mid-step (donated state unavailable: %s); "
                 "no INTERRUPTED.pth written — use the last epoch checkpoint", e
             )
         raise
+    except RssLimitExceeded:
+        writer.close()  # flush TB before the CLI re-execs the process
+        raise
+    finally:
+        if prev_term is not None:
+            signal.signal(signal.SIGTERM, prev_term)
 
     if cfg.save_cp:
         path = os.path.join(cfg.checkpoint_dir, f"{task.name}_model.pt")
@@ -412,6 +469,8 @@ def _epoch_loop(
     n_classes, history, interrupt_flag, stream_pipe, sv,
     state, timer, ckptr_box,
 ):
+    autosave_t = [time.monotonic()]  # --autosave-minutes cadence anchor
+
     def _next_key(commit=True):
         # every key advance is mirrored into `latest` so the INTERRUPTED /
         # final saves in train_net persist the EVOLVED key — saving the
@@ -460,6 +519,21 @@ def _epoch_loop(
             while len(pending_metrics) > 1:
                 _drain_metrics()
             timer.stop()
+            if cfg.autosave_minutes and (
+                time.monotonic() - autosave_t[0] >= cfg.autosave_minutes * 60.0
+            ):
+                # time-based mid-epoch snapshot: the state/key pair in
+                # `latest` was committed together above, so the autosave is
+                # exactly as resume-consistent as INTERRUPTED.pth; the
+                # save's device->host fetch synchronizes on this step only
+                os.makedirs(cfg.checkpoint_dir, exist_ok=True)
+                path = os.path.join(cfg.checkpoint_dir, f"{task.name}_autosave.pt")
+                ckpt.save_checkpoint(
+                    path, latest["state"], plateau, latest["key"],
+                    extra={"model_config": _model_config(cfg, task)},
+                )
+                autosave_t[0] = time.monotonic()
+                log.info("autosave %s (step %d)", path, global_step)
             return state
 
         if sv is not None:
@@ -603,5 +677,27 @@ def _epoch_loop(
             "epoch %d/%d done (%.2fs/step median, %.0f slices/s/chip)",
             epoch + 1, cfg.epochs, timer.sec_per_step, timer.slices_per_sec,
         )
+
+        rss = _rss_mb() if cfg.rss_limit_mb else 0.0
+        if cfg.rss_limit_mb and rss > cfg.rss_limit_mb and epoch + 1 < cfg.epochs:
+            # bounded-RSS training (serve.py watchdog's train analogue):
+            # the tunneled device client leaks ~1 upload of host staging
+            # per jit-argument transfer (tools/repro_client_staging_leak
+            # .py), so long --stream runs creep. Epoch boundary = the
+            # golden-tested resume point; the re-exec (train.py) restores
+            # state/opt/plateau/key from this checkpoint and runs the
+            # REMAINING epochs in a fresh process.
+            _swap_pending(ckptr_box, None)  # drain any in-flight async save
+            os.makedirs(cfg.checkpoint_dir, exist_ok=True)
+            path = os.path.join(cfg.checkpoint_dir, f"{task.name}_rss_resume.pt")
+            ckpt.save_checkpoint(
+                path, latest["state"], plateau, latest.get("key", key),
+                extra={"model_config": _model_config(cfg, task)},
+            )
+            log.warning(
+                "rss %.0f MB exceeds --rss-limit-mb %.0f after epoch %d; "
+                "resume checkpoint %s", rss, cfg.rss_limit_mb, epoch + 1, path,
+            )
+            raise RssLimitExceeded(path, epoch + 1, rss)
 
     return state

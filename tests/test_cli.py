@@ -547,3 +547,73 @@ def test_cli_serve_once_resumable(tmp_path):
     run_cli("serve.py", *args, cwd=tmp_path)
     assert (out / "v0.nii").stat().st_mtime_ns > mt["v0.nii"]
     assert (out / "v1.nii").stat().st_mtime_ns == mt["v1.nii"]
+
+
+@pytest.mark.slow
+def test_cli_train_sigterm_preemption_roundtrip(tmp_path):
+    """Deployment-path preemption (VERDICT r4 item 3): SIGTERM a real
+    ``train.py`` subprocess mid-run → it writes INTERRUPTED.pth (the same
+    consistent key/state save as Ctrl-C) and exits 0; a resume from that
+    checkpoint completes. Polls for the first epoch checkpoint so the
+    signal lands after training demonstrably started (load-robust)."""
+    import signal
+    import time
+
+    make_dataset(tmp_path / "data")
+    env = dict(os.environ)
+    env["PMPU_FORCE_CPU"] = "1"
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "train.py"), "-m", "unet",
+         "-d", str(tmp_path / "data" / "train"), "--num-filters", "4,8",
+         "-e", "500", "-b", "2", "--checkpoint-dir", str(tmp_path / "ckpt")],
+        cwd=tmp_path, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        deadline = time.time() + 600
+        first = tmp_path / "ckpt" / "unet_checkpoint0.pt"
+        while time.time() < deadline and not first.exists():
+            assert proc.poll() is None, proc.stdout.read()
+            time.sleep(0.5)
+        assert first.exists(), "training never reached the first checkpoint"
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=600)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0, out
+    assert (tmp_path / "INTERRUPTED.pth").exists(), out
+    assert "Saved interrupt (SIGTERM preemption)" in out, out
+
+    # resume from the preemption checkpoint
+    run_cli(
+        "train.py", "-m", "unet", "-d", str(tmp_path / "data" / "train"),
+        "--num-filters", "4,8", "-e", "1", "-b", "2",
+        "-f", str(tmp_path / "INTERRUPTED.pth"),
+        "--checkpoint-dir", str(tmp_path / "ckpt2"), cwd=tmp_path,
+    )
+    assert (tmp_path / "ckpt2" / "unet_model.pt").exists()
+
+
+@pytest.mark.slow
+def test_cli_train_rss_limit_reexec_completes(tmp_path):
+    """Bounded-RSS training (VERDICT r4 item 2): with --rss-limit-mb set
+    below actual RSS, every epoch boundary triggers checkpoint + re-exec
+    with ``-f <ckpt> -e <remaining>`` — and the run still COMPLETES all
+    epochs across the re-execs with a final model saved (idempotent-resume
+    contract, mirroring serve.py's watchdog)."""
+    make_dataset(tmp_path / "data")
+    res = run_cli(
+        "train.py", "-m", "unet", "-d", str(tmp_path / "data" / "train"),
+        "--num-filters", "4,8", "-e", "3", "-b", "2",
+        "--rss-limit-mb", "1", "--checkpoint-dir", str(tmp_path / "ckpt"),
+        cwd=tmp_path,
+    )
+    out = res.stdout + res.stderr
+    assert out.count("re-exec for bounded RSS") == 2, out
+    assert (tmp_path / "ckpt" / "unet_rss_resume.pt").exists()
+    assert (tmp_path / "ckpt" / "unet_model.pt").exists()
+    # the re-exec'd processes resumed rather than restarting: exactly one
+    # epoch runs per process (epochs remaining decremented each time)
+    assert "epoch 1/3 done" in out and "epoch 1/2 done" in out \
+        and "epoch 1/1 done" in out, out

@@ -21,6 +21,12 @@ from pmpu_tpu.train.loop import train_net
 
 def main() -> int:
     logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
+    # a bounded-RSS re-exec blocks SIGINT across the execv so an operator
+    # Ctrl-C in the import window stays pending rather than fatal; unblock
+    # it here (mirrors serve.py)
+    import signal
+
+    signal.pthread_sigmask(signal.SIG_UNBLOCK, {signal.SIGINT})
     parser = argparse.ArgumentParser(
         description="Train the UNet on images and target masks",
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
@@ -51,11 +57,55 @@ def main() -> int:
         len(store), store.cube, store.slices_per_volume,
     )
 
+    from pmpu_tpu.train.loop import RssLimitExceeded
+
     try:
         train_net(cfg, store)  # writes INTERRUPTED.pth itself on Ctrl-C
         return 0
     except KeyboardInterrupt:
+        # SIGINT and SIGTERM (preemption) both land here: train_net raises
+        # KeyboardInterrupt from its step loops after writing the
+        # consistent key/state INTERRUPTED.pth (reference train.py:271-277)
         return 0
+    except RssLimitExceeded as e:
+        # bounded-RSS training (serve.py's --rss-limit-mb analogue): the
+        # loop checkpointed at the epoch boundary; re-exec this process
+        # with the checkpoint and the REMAINING epochs so the run
+        # completes with a fresh device client (tunnel staging leak,
+        # docs/PERF.md soak section)
+        remaining = cfg.epochs - e.epochs_done
+        argv = _resume_argv(sys.argv, e.checkpoint_path, remaining)
+        logging.warning("re-exec for bounded RSS: %s", " ".join(argv))
+        sys.stdout.flush()
+        sys.stderr.flush()
+        import signal
+
+        # keep an operator SIGINT pending (not fatal) across the fresh
+        # interpreter's import window, as serve.py does
+        signal.pthread_sigmask(signal.SIG_BLOCK, {signal.SIGINT})
+        os.execv(sys.executable, [sys.executable] + argv)
+
+
+def _resume_argv(argv: list, ckpt_path: str, remaining: int) -> list:
+    """argv for the bounded-RSS re-exec: ``-f/--load`` pointed at the resume
+    checkpoint and ``-e/--epochs`` set to the remaining count (both replaced
+    in place when present, appended otherwise)."""
+    out = list(argv)
+
+    def _set(flags, value):
+        for i, a in enumerate(out):
+            if a in flags and i + 1 < len(out):
+                out[i + 1] = value
+                return
+            for fl in flags:  # --flag=value form
+                if a.startswith(fl + "="):
+                    out[i] = fl + "=" + value
+                    return
+        out.extend([flags[0], value])
+
+    _set(("-f", "--load"), ckpt_path)
+    _set(("-e", "--epochs"), str(remaining))
+    return out
 
 
 if __name__ == "__main__":
