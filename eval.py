@@ -79,6 +79,7 @@ def main() -> int:
         quantize=cfg.quantize,
         calibration=cfg.calibration,
         input_dtype=cfg.input_dtype,
+        source_geometry=not cfg.identity_affine,
     )
     os.makedirs("predictions", exist_ok=True)
     if cfg.save_uncertainty:

@@ -92,6 +92,10 @@ class Config:
     # bf16 iff --bf16), "float32", "bfloat16", "uint8" (8-bit fixed point
     # vs per-volume max — half of bf16's upload bytes; the on-device
     # per-slice max normalization cancels the scale; see VolumeEvaluator)
+    identity_affine: bool = False  # strict reference-parity exports: padded
+    # cube + identity affine (eval.py:51-57). Default False = un-pad the
+    # segmentation/uncertainty volumes to the source shape and carry the
+    # input scan's affine through to the output header
     autosave_minutes: float = 0.0  # time-based mid-epoch checkpoint cadence:
     # save a consistent (state, plateau, RNG-key) snapshot to
     # {net}_autosave.pt every N minutes of the train phase, so preemption
@@ -168,6 +172,11 @@ def _add_extension_args(p: argparse.ArgumentParser):
     g.add_argument("--eval-samples", dest="eval_samples", type=int, default=5)
     g.add_argument("--eval-batch", dest="eval_batch", type=int, default=0)
     g.add_argument("--data-parallel", dest="data_parallel", action="store_true")
+    g.add_argument("--identity-affine", dest="identity_affine", action="store_true",
+                   help="strict reference-parity exports: padded cube + "
+                   "identity affine (eval.py:51-57). Default: un-pad to the "
+                   "source shape and carry the input scan's affine/spacing "
+                   "through to the output NIfTI header")
     g.add_argument("--n-classes", dest="n_classes", type=int, default=None)
     g.add_argument(
         "--num-filters",

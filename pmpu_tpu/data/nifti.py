@@ -237,7 +237,11 @@ def save(path, data: np.ndarray, affine: np.ndarray | None = None) -> None:
     struct.pack_into("<8h", hdr, 40, *dim)
     struct.pack_into("<h", hdr, 70, _DTYPE_CODES[data.dtype])
     struct.pack_into("<h", hdr, 72, data.dtype.itemsize * 8)
-    struct.pack_into("<8f", hdr, 76, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0)
+    # pixdim from the affine's column norms so anisotropic voxel spacing
+    # survives in consumers that read pixdim rather than the sform
+    sp = np.linalg.norm(np.asarray(affine, dtype=np.float64)[:3, :3], axis=0)
+    sp = [float(s) if np.isfinite(s) and s > 0 else 1.0 for s in sp]
+    struct.pack_into("<8f", hdr, 76, 1.0, sp[0], sp[1], sp[2], 1.0, 1.0, 1.0, 1.0)
     struct.pack_into("<f", hdr, 108, 352.0)  # vox_offset
     struct.pack_into("<f", hdr, 112, 1.0)  # scl_slope
     struct.pack_into("<f", hdr, 116, 0.0)  # scl_inter

@@ -83,13 +83,52 @@ def reference_pad_dimensions(vol: np.ndarray) -> np.ndarray:
 
 
 @dataclass
+class SourceGeom:
+    """Source-scan geometry carried from input header to output header:
+    the pre-pad voxel shape and the voxel→world affine. The reference
+    discards both (identity-affine exports, ``eval.py:51-57``); real NIfTI
+    consumers need segmentations registered to the input scan."""
+
+    shape: tuple
+    affine: np.ndarray
+
+
+def crop_to_source(arr: np.ndarray, shape) -> np.ndarray:
+    """Undo :func:`pad_to_cube`: padding is at the HIGH end of each axis
+    (``mri_dataset.py:85-98`` semantics), so the source volume is the
+    leading corner."""
+    x, y, z = (int(d) for d in shape)
+    return np.ascontiguousarray(arr[:x, :y, :z])
+
+
+def geom_from_header(hdr, path: str = "") -> SourceGeom:
+    """Build a :class:`SourceGeom` from a parsed NIfTI header (the CLIs'
+    single-file / watch-dir paths, which bypass :class:`VolumeStore`)."""
+    return SourceGeom(_squeeze3d_shape(hdr.shape, path), hdr.affine)
+
+
+def _read_geoms(img_paths) -> list:
+    """Header-only geometry pass (348 bytes/file; .gz reads just the
+    stream head) — shared by every ``from_dirs`` loading mode."""
+    out = []
+    for p in img_paths:
+        hdr = nifti.read_header(p)
+        out.append(SourceGeom(_squeeze3d_shape(hdr.shape, p), hdr.affine))
+    return out
+
+
+@dataclass
 class VolumeStore:
-    """Stacked dataset: images (N,S,S,S) float32, labels (N,S,S,S) int32."""
+    """Stacked dataset: images (N,S,S,S) float32, labels (N,S,S,S) int32.
+
+    ``geoms``: per-volume :class:`SourceGeom` (pre-pad shape + affine) when
+    loaded from NIfTI files; None for synthetic array stores."""
 
     images: np.ndarray
     labels: np.ndarray
     ids: list
     cube: int
+    geoms: list | None = None
 
     def __len__(self) -> int:
         return self.images.shape[0]
@@ -137,12 +176,15 @@ class VolumeStore:
             raise FileNotFoundError(f"no volumes in {imgs_dir}")
         img_paths = [os.path.join(imgs_dir, n) for n in ids]
         lbl_paths = [os.path.join(masks_dir, n) for n in ids]
+        geoms = _read_geoms(img_paths)
 
         if mmap_dir is not None:
-            return cls._from_dirs_mmap(
+            store = cls._from_dirs_mmap(
                 img_paths, lbl_paths, ids, np.dtype(dtype), cube, mmap_dir,
                 use_native,
             )
+            store.geoms = geoms
+            return store
 
         if use_native is None or use_native:
             from pmpu_tpu.data import native
@@ -180,7 +222,8 @@ class VolumeStore:
                     c = cube or int(max(max(s) for s in img_shapes))
                     images = native.load_dataset(img_paths, c)
                     labels = native.load_dataset(lbl_paths, c).astype(np.int32)
-                    return cls(images=images.astype(dtype, copy=False), labels=labels, ids=ids, cube=c)
+                    return cls(images=images.astype(dtype, copy=False), labels=labels,
+                               ids=ids, cube=c, geoms=geoms)
             elif use_native:
                 raise RuntimeError("native io requested but unavailable")
 
@@ -195,7 +238,7 @@ class VolumeStore:
         c = cube or int(max(max(v.shape) for v in imgs))
         images = np.stack([pad_to_cube(v, c) for v in imgs]).astype(dtype)
         labels = np.stack([pad_to_cube(v, c) for v in lbls]).astype(np.int32)
-        return cls(images=images, labels=labels, ids=ids, cube=c)
+        return cls(images=images, labels=labels, ids=ids, cube=c, geoms=geoms)
 
     @classmethod
     def _from_dirs_mmap(

@@ -170,10 +170,15 @@ class VolumeEvaluator:
         input_dtype: Optional[str] = None,
         quantize: Optional[str] = None,
         calibration: Optional[str] = None,
+        source_geometry: bool = True,
     ):
         self.task = task
         self.n_samples = 1 if mean_z else n_samples
         self.mean_z = mean_z
+        # NIfTI exports un-padded to the source shape with the source
+        # affine (store.geoms) by default; False = the reference's strict
+        # padded-cube identity-affine exports (eval.py:51-57)
+        self.source_geometry = source_geometry
         self.eval_batch = eval_batch
         self.num_views = num_views
         self.mesh = mesh  # shard the slice-slab batch axis over mesh 'data'
@@ -811,13 +816,31 @@ class VolumeEvaluator:
                         np.round(d[-1], 4),
                     )
                     if save_dir:
-                        writer.save(f"{save_dir}/{store.ids[i]}", seg[j])
+                        self._export(writer, f"{save_dir}/{store.ids[i]}",
+                                     seg[j], store, i)
                     if uncertainty_dir:
-                        writer.save(f"{uncertainty_dir}/{store.ids[i]}", ent[j])
+                        self._export(writer, f"{uncertainty_dir}/{store.ids[i]}",
+                                     ent[j], store, i)
         return {
             "per_view": [np.stack(v) for v in per_view],
             "fused": np.stack(fused_dice),
         }
+
+    def _export(self, writer, path, arr, store, i):
+        """NIfTI export with source-geometry restoration: crop the
+        pad-to-cube margin back to the source shape and carry the source
+        affine (``store.geoms``). Falls back to the reference's raw
+        padded-cube identity-affine export (``eval.py:51-57``) when
+        ``source_geometry`` is off or the store has no geometry (synthetic
+        arrays)."""
+        geoms = getattr(store, "geoms", None) if self.source_geometry else None
+        geom = geoms[i] if geoms else None
+        if geom is None:
+            writer.save(path, arr)
+        else:
+            from pmpu_tpu.data.volumes import crop_to_source
+
+            writer.save(path, crop_to_source(arr, geom.shape), geom.affine)
 
     def ged_volume(self, variables, img_vol, truth_vol, n_ged_samples: int = 4, key=None):
         """Generalized Energy Distance over whole-volume segmentation samples:
@@ -916,12 +939,11 @@ class VolumeEvaluator:
                 )
                 if save_dir:
                     # packed fetch; reference export dtype (eval.py:51-57)
-                    writer.save(f"{save_dir}/{store.ids[i]}", self._fetch_seg(h))
+                    self._export(writer, f"{save_dir}/{store.ids[i]}",
+                                 self._fetch_seg(h), store, i)
                 if uncertainty_dir:
-                    writer.save(
-                        f"{uncertainty_dir}/{store.ids[i]}",
-                        self._fetch_entropy(h["entropy"]),
-                    )
+                    self._export(writer, f"{uncertainty_dir}/{store.ids[i]}",
+                                 self._fetch_entropy(h["entropy"]), store, i)
 
             for i in range(n):
                 h = self._dispatch_volume(

@@ -24,9 +24,18 @@ import numpy as np
 
 from pmpu_tpu.config import Config, parse_num_filters
 from pmpu_tpu.data import nifti
-from pmpu_tpu.data.volumes import pad_to_cube
+from pmpu_tpu.data.volumes import crop_to_source, geom_from_header, pad_to_cube
 from pmpu_tpu.inference.engine import VolumeEvaluator
 from pmpu_tpu.train.tasks import make_task
+
+
+def _restore(arr, geom, identity: bool):
+    """(volume, affine) for export: source geometry (un-padded shape +
+    input affine) by default, raw padded cube + identity with
+    ``--identity-affine`` (reference ``eval.py:51-57`` parity)."""
+    if identity or geom is None:
+        return arr, None
+    return crop_to_source(arr, geom.shape), geom.affine
 
 
 def get_args():
@@ -60,6 +69,10 @@ def get_args():
     p.add_argument("--num-filters", dest="num_filters", type=parse_num_filters,
                    default=(64, 128, 256, 512, 1024),
                    help="comma-separated encoder widths (torch checkpoints)")
+    p.add_argument("--identity-affine", dest="identity_affine", action="store_true",
+                   help="strict reference-parity exports: padded cube + "
+                   "identity affine (default: un-pad to the source shape and "
+                   "carry the input scan's affine through)")
     return p.parse_args()
 
 
@@ -87,14 +100,18 @@ def main() -> int:
         # from a header-only scan; the volumes themselves load LAZILY in
         # the pipelined generator below (~pipeline_depth in RAM at once,
         # not the whole directory)
-        cube = int(max(
-            max(nifti.read_header(os.path.join(args.input, n)).shape[:3])
+        geoms = {
+            n: geom_from_header(
+                nifti.read_header(os.path.join(args.input, n)), n)
             for n in names
-        ))
+        }
+        cube = int(max(max(g.shape) for g in geoms.values()))
         vol = None
         logging.info("batch input %s: %d volumes → cube %d", args.input, len(names), cube)
     else:
         names = None
+        hdr = nifti.read_header(args.input)
+        geom = geom_from_header(hdr, args.input)
         vol = pad_to_cube(nifti.load(args.input))
         cube = vol.shape[0]
         logging.info("input %s → cube %s", args.input, vol.shape)
@@ -136,20 +153,26 @@ def main() -> int:
         )
         for n, out in zip(names, outs):
             seg, ent = out if args.uncertainty else (out, None)
-            nifti.save(os.path.join(args.output, n), seg)
+            seg, aff = _restore(seg, geoms[n], args.identity_affine)
+            nifti.save(os.path.join(args.output, n), seg, aff)
             if ent is not None:
-                nifti.save(os.path.join(args.uncertainty, n), ent)
+                ent, aff = _restore(ent, geoms[n], args.identity_affine)
+                nifti.save(os.path.join(args.uncertainty, n), ent, aff)
         logging.info("saved %d segmentations to %s", len(names), args.output)
         return 0
     res = ev.evaluate_volume(variables, vol, key=jax.random.key(args.seed))
-    nifti.save(args.output, res["argmax"].astype(np.float32))
+    seg, aff = _restore(
+        res["argmax"].astype(np.float32), geom, args.identity_affine)
+    nifti.save(args.output, seg, aff)
     logging.info("saved %s", args.output)
     if args.uncertainty:
         # device-side entropy + compact uint16 fetch (the engine's wire
         # format): ~6× fewer D2H bytes than pulling the f32 prob volume
         # through the tunnel and recomputing on host
         entropy = ev._fetch_entropy(ev._entropy(res["fused"]))
-        nifti.save(args.uncertainty, entropy.astype(np.float32))
+        ent, aff = _restore(
+            entropy.astype(np.float32), geom, args.identity_affine)
+        nifti.save(args.uncertainty, ent, aff)
         logging.info("saved %s", args.uncertainty)
     return 0
 

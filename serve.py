@@ -36,7 +36,7 @@ import numpy as np
 
 from pmpu_tpu.config import Config, parse_num_filters
 from pmpu_tpu.data import nifti
-from pmpu_tpu.data.volumes import pad_to_cube
+from pmpu_tpu.data.volumes import crop_to_source, geom_from_header, pad_to_cube
 from pmpu_tpu.inference.engine import VolumeEvaluator
 from pmpu_tpu.train.tasks import make_task
 
@@ -73,6 +73,10 @@ def get_args():
                    help="H2D volume wire dtype (default: bf16 iff --bf16); "
                    "uint8 halves bf16's upload bytes")
     p.add_argument("--compile-cache", dest="compile_cache", type=str, default=None)
+    p.add_argument("--identity-affine", dest="identity_affine", action="store_true",
+                   help="strict reference-parity exports: padded cube + "
+                   "identity affine (default: un-pad to the source shape "
+                   "and carry the input scan's affine through)")
     p.add_argument("--n-classes", dest="n_classes", type=int, default=3,
                    help="output classes (needed for raw torch state_dict "
                    "checkpoints, which carry no architecture record)")
@@ -330,9 +334,12 @@ def _serve_loop(args, cfg, task, variables, ev, cube, seen, sizes, key,
             # data we'd throw away (an adversarial or fat-fingered upload to
             # the watch dir must not cost a full-volume decompress per poll).
             accepted = []
+            geoms = {}  # name → SourceGeom for this batch's exports
             for n in ready:
                 try:
-                    shape = nifti.read_header(os.path.join(args.watch, n)).shape
+                    hdr = nifti.read_header(os.path.join(args.watch, n))
+                    shape = hdr.shape
+                    geoms[n] = geom_from_header(hdr, n)
                 except Exception as e:
                     _fail(n, e)
                     continue
@@ -398,9 +405,18 @@ def _serve_loop(args, cfg, task, variables, ev, cube, seen, sizes, key,
                 dt = time.perf_counter() - t0
                 for n, out in zip(names, outs):
                     seg, ent = out if args.uncertainty else (out, None)
-                    writer.save(os.path.join(args.out, n), seg)
+                    geom = None if args.identity_affine else geoms.get(n)
+                    if geom is not None:
+                        # source-geometry exports (default): un-pad to the
+                        # input shape, carry the input affine through
+                        seg = crop_to_source(seg, geom.shape)
+                        ent = None if ent is None else crop_to_source(ent, geom.shape)
+                        aff = geom.affine
+                    else:
+                        aff = None
+                    writer.save(os.path.join(args.out, n), seg, aff)
                     if ent is not None:
-                        writer.save(os.path.join(args.uncertainty, n), ent)
+                        writer.save(os.path.join(args.uncertainty, n), ent, aff)
                 served += len(names)
                 logging.info(
                     "served %d volumes in %.2fs (%.2f s/volume, %d total)",

@@ -617,3 +617,68 @@ def test_cli_train_rss_limit_reexec_completes(tmp_path):
     # epoch runs per process (epochs remaining decremented each time)
     assert "epoch 1/3 done" in out and "epoch 1/2 done" in out \
         and "epoch 1/1 done" in out, out
+
+
+@pytest.mark.slow
+def test_cli_affine_passthrough_roundtrip(tmp_path):
+    """Source-geometry exports (VERDICT r4 item 6): an anisotropic
+    (non-cubic) input with a non-identity affine must come back from
+    eval.py / predict.py / serve.py un-padded to the source shape with the
+    source affine in the output header (voxel-exact registration to the
+    input scan); --identity-affine restores the reference's strict
+    padded-cube identity exports (eval.py:51-57), and the default output
+    equals its leading corner."""
+    aff = np.array([
+        [0.0, 0.7, 0.0, 10.0],
+        [0.5, 0.0, 0.0, -5.0],
+        [0.0, 0.0, 2.0, 3.25],
+        [0.0, 0.0, 0.0, 1.0],
+    ])
+    src_shape = (20, 14, 12)
+    rng = np.random.default_rng(5)
+    for sub in ("images", "labels"):
+        (tmp_path / "data" / sub).mkdir(parents=True)
+    lbl = np.zeros(src_shape, dtype=np.float32)
+    lbl[6:12, 4:9, 3:8] = 1
+    img = rng.random(src_shape).astype(np.float32) * 0.2 + 0.7 * lbl
+    nifti.save(tmp_path / "data" / "images" / "image0.nii", img, aff)
+    nifti.save(tmp_path / "data" / "labels" / "image0.nii", lbl, aff)
+
+    common = ["--num-filters", "4,8"]
+
+    def check_geom(path):
+        hdr = nifti.read_header(path)
+        assert hdr.shape[:3] == src_shape, hdr.shape
+        np.testing.assert_allclose(hdr.affine, aff, rtol=1e-6)
+
+    # eval.py default: source geometry
+    run_cli("eval.py", "-m", "unet", "-d", str(tmp_path / "data"), *common,
+            cwd=tmp_path)
+    check_geom(tmp_path / "predictions" / "image0.nii")
+    seg_src = nifti.load(tmp_path / "predictions" / "image0.nii")
+
+    # eval.py --identity-affine: reference parity (padded cube, identity)
+    strict = tmp_path / "strict"
+    strict.mkdir()
+    run_cli("eval.py", "-m", "unet", "-d", str(tmp_path / "data"), *common,
+            "--identity-affine", cwd=strict)
+    hdr = nifti.read_header(strict / "predictions" / "image0.nii")
+    assert hdr.shape[:3] == (20, 20, 20)
+    np.testing.assert_allclose(hdr.affine, np.eye(4))
+    seg_pad = nifti.load(strict / "predictions" / "image0.nii")
+    # voxel-exact: the default export is the padded export's leading corner
+    np.testing.assert_array_equal(seg_src, seg_pad[:20, :14, :12])
+
+    # predict.py single-file + uncertainty
+    run_cli("predict.py", "-m", "unet", *common,
+            "-i", str(tmp_path / "data" / "images" / "image0.nii"),
+            "-o", str(tmp_path / "seg.nii"),
+            "--uncertainty", str(tmp_path / "unc.nii"), cwd=tmp_path)
+    check_geom(tmp_path / "seg.nii")
+    check_geom(tmp_path / "unc.nii")
+
+    # serve.py --once
+    run_cli("serve.py", "-m", "unet", *common,
+            "--watch", str(tmp_path / "data" / "images"),
+            "--out", str(tmp_path / "served"), "--once", cwd=tmp_path)
+    check_geom(tmp_path / "served" / "image0.nii")

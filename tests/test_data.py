@@ -564,3 +564,66 @@ def test_mmap_store_stream_training_parity(tmp_path):
         jax.tree_util.tree_leaves(state_b.params),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def _aniso_affine():
+    """Non-identity test affine: anisotropic spacing + axis swap + offset."""
+    return np.array([
+        [0.0, 0.7, 0.0, 10.0],
+        [0.5, 0.0, 0.0, -5.0],
+        [0.0, 0.0, 2.0, 3.25],
+        [0.0, 0.0, 0.0, 1.0],
+    ], dtype=np.float64)
+
+
+def test_nifti_affine_roundtrip_and_pixdim(tmp_path):
+    """save(affine=A) → read_header: sform carries A exactly (float32) and
+    pixdim holds the column norms (anisotropic spacing for consumers that
+    read pixdim rather than the sform)."""
+    from pmpu_tpu.data import nifti
+
+    a = _aniso_affine()
+    vol = np.random.default_rng(0).random((6, 5, 4)).astype(np.float32)
+    nifti.save(tmp_path / "v.nii", vol, a)
+    hdr = nifti.read_header(tmp_path / "v.nii")
+    np.testing.assert_allclose(hdr.affine, a, rtol=1e-6)
+    np.testing.assert_allclose(
+        hdr.pixdim[1:4], np.linalg.norm(a[:3, :3], axis=0), rtol=1e-6
+    )
+    np.testing.assert_array_equal(nifti.load(tmp_path / "v.nii"), vol)
+
+
+@pytest.mark.parametrize("use_native", [False, None])
+def test_volume_store_carries_source_geometry(tmp_path, use_native):
+    """from_dirs retains each scan's pre-pad shape + affine (geoms) through
+    every loading mode, and crop_to_source inverts pad_to_cube exactly."""
+    from pmpu_tpu.data import nifti
+    from pmpu_tpu.data.volumes import crop_to_source
+
+    a = _aniso_affine()
+    (tmp_path / "images").mkdir()
+    (tmp_path / "labels").mkdir()
+    rng = np.random.default_rng(1)
+    vol = rng.random((16, 12, 10)).astype(np.float32)
+    lbl = (vol > 0.6).astype(np.float32)
+    nifti.save(tmp_path / "images" / "v0.nii", vol, a)
+    nifti.save(tmp_path / "labels" / "v0.nii", lbl, a)
+    store = VolumeStore.from_dirs(
+        tmp_path / "images", tmp_path / "labels", use_native=use_native
+    )
+    assert store.cube == 16 and store.geoms is not None
+    g = store.geoms[0]
+    assert g.shape == (16, 12, 10)
+    np.testing.assert_allclose(g.affine, a, rtol=1e-6)
+    np.testing.assert_array_equal(
+        crop_to_source(store.images[0], g.shape), vol
+    )
+
+    # mmap mode too (reopen path included)
+    for _ in range(2):
+        mm = VolumeStore.from_dirs(
+            tmp_path / "images", tmp_path / "labels",
+            mmap_dir=str(tmp_path / "pool"),
+        )
+        assert mm.geoms[0].shape == (16, 12, 10)
+        np.testing.assert_allclose(mm.geoms[0].affine, a, rtol=1e-6)
