@@ -203,6 +203,7 @@ class ProbabilisticUNet(nn.Module):
     no_convs_fcomb: int = 4
     beta: float = 10.0
     dtype: Any = None  # compute dtype (e.g. jnp.bfloat16); params stay f32
+    split_decoder: bool = False  # UNet decoder split-concat convs (unet.py)
 
     def setup(self):
         self.unet = UNet(
@@ -211,6 +212,7 @@ class ProbabilisticUNet(nn.Module):
             num_filters=self.num_filters,
             apply_last_layer=False,
             dtype=self.dtype,
+            split_decoder=self.split_decoder,
         )
         self.prior = AxisAlignedConvGaussian(
             self.num_filters, self.latent_dim, self.no_convs_per_block, dtype=self.dtype

@@ -27,13 +27,60 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from pmpu_tpu.models import initializers as pinit
 
 
+class _SplitConcatConv(nn.Module):
+    """Parameter-compatible stand-in for ``nn.Conv`` (same ``kernel``/
+    ``bias`` param names, shapes, and inits) that computes
+    ``conv(concat(xs, axis=-1))`` as a SUM of per-input convs over sliced
+    kernel channel ranges — the concat tensor is never materialized, and
+    the pad/elementwise chain feeding each half stays off the big fused
+    conv (the decoder-conv rewrite measured in docs/PERF.md; same trick as
+    the int8-resident path, ``models/quantized.py::_split_dec_conv``).
+    Checkpoints are interchangeable with the fused path by construction."""
+
+    features: int
+    kernel_size: tuple
+    padding: Any
+    dtype: Any
+    kernel_init: Any
+    bias_init: Any
+
+    @nn.compact
+    def __call__(self, xs):
+        cin = sum(int(t.shape[-1]) for t in xs)
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            tuple(self.kernel_size) + (cin, self.features), jnp.float32,
+        )
+        bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+        *arrs, kernel, bias = nn.dtypes.promote_dtype(
+            *xs, kernel, bias, dtype=self.dtype
+        )
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = [(pad, pad), (pad, pad)]
+        off, out = 0, None
+        for t in arrs:
+            k = kernel[:, :, off : off + t.shape[-1], :]
+            y = jax.lax.conv_general_dilated(
+                t, k, (1, 1), pad, dimension_numbers=("NHWC", "HWIO", "NHWC")
+            )
+            out = y if out is None else out + y
+            off += t.shape[-1]
+        return out + bias
+
+
 class TorchConv(nn.Module):
-    """3×3/1×1 conv with torch's default (kaiming-uniform) init, NHWC."""
+    """3×3/1×1 conv with torch's default (kaiming-uniform) init, NHWC.
+
+    A TUPLE input takes the split-concat path: ``conv(concat(a, b))``
+    computed as two convs summed (identical parameter tree — see
+    :class:`_SplitConcatConv`)."""
 
     features: int
     kernel_size: tuple[int, int] = (3, 3)
@@ -42,10 +89,19 @@ class TorchConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        fan_in = int(x.shape[-1]) * self.kernel_size[0] * self.kernel_size[1]
+        pair = isinstance(x, (tuple, list))
+        cin = sum(int(t.shape[-1]) for t in x) if pair else int(x.shape[-1])
+        fan_in = cin * self.kernel_size[0] * self.kernel_size[1]
         pad = self.padding
         if isinstance(pad, int):
             pad = [(pad, pad), (pad, pad)]
+        if pair:
+            return _SplitConcatConv(
+                self.features, self.kernel_size, pad, self.dtype,
+                pinit.torch_conv_default(),
+                pinit.torch_conv_bias_default(fan_in),
+                name="conv",
+            )(tuple(x))
         return nn.Conv(
             self.features,
             self.kernel_size,
@@ -143,12 +199,15 @@ class Up(nn.Module):
 
     features: int  # output channels (== skip channels for doubling lists)
     dtype: Any = None
+    split: bool = False  # split-concat conv0 (no concat materialized)
 
     @nn.compact
     def __call__(self, x1, x2, *, train: bool):
         x1 = TorchConvTranspose(x1.shape[-1] // 2, dtype=self.dtype, name="up")(x1)
         x1 = _pad_to_match(x1, x2)
-        x = jnp.concatenate([x2, x1], axis=-1)  # skip first: torch cat([x2, x1])
+        # skip first: torch cat([x2, x1]); split mode feeds the pair
+        # straight to conv0 (TorchConv's tuple path — same params)
+        x = (x2, x1) if self.split else jnp.concatenate([x2, x1], axis=-1)
         return DoubleConv(self.features, dtype=self.dtype, name="double_conv")(x, train=train)
 
 
@@ -179,6 +238,9 @@ class UNet(nn.Module):
     num_filters: Sequence[int] = (64, 128, 256, 512, 1024)
     apply_last_layer: bool = True
     dtype: Any = None  # compute dtype (e.g. jnp.bfloat16); params stay f32
+    split_decoder: bool = False  # decoder conv0 as conv(skip)+conv(up):
+    # no concat materialization, pad/elementwise chain peeled off the big
+    # fused conv (identical params; reduction-order-level numerics)
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -194,7 +256,10 @@ class UNet(nn.Module):
         y = xs[-1]
         for i in range(len(nf) - 1):
             skip = xs[len(nf) - 2 - i]
-            y = Up(nf[len(nf) - 2 - i], dtype=self.dtype, name=f"up{i}")(y, skip, train=train)
+            y = Up(
+                nf[len(nf) - 2 - i], dtype=self.dtype,
+                split=self.split_decoder, name=f"up{i}",
+            )(y, skip, train=train)
 
         features = y
         out = OutConv(self.n_classes, dtype=self.dtype, name="outc")(features)

@@ -41,6 +41,7 @@ class UNetTask:
         dtype: Any = None,
         loss_type: str = "auto",
         class_weights=None,
+        split_decoder: bool = False,
     ):
         self.n_classes = n_classes
         self.loss_type = loss_type  # auto (reference CE/BCE) | dice | ce+dice
@@ -50,6 +51,7 @@ class UNetTask:
             n_classes=n_classes,
             num_filters=tuple(num_filters),
             dtype=dtype,
+            split_decoder=split_decoder,
         )
 
     def init_variables(self, key, img, msk):
@@ -108,6 +110,7 @@ class ProbUNetTask:
         beta: float = 10.0,
         dtype: Any = None,
         class_weights=None,
+        split_decoder: bool = False,
     ):
         self.n_classes = n_classes
         self.beta = beta
@@ -120,6 +123,7 @@ class ProbUNetTask:
             no_convs_fcomb=no_convs_fcomb,
             beta=beta,
             dtype=dtype,
+            split_decoder=split_decoder,
         )
 
     def init_variables(self, key, img, msk):

@@ -163,3 +163,46 @@ def test_orthogonal_init_is_orthogonal():
     k = orthogonal()(jax.random.key(0), (1, 1, 16, 8))
     mat = np.asarray(k).reshape(16, 8)
     np.testing.assert_allclose(mat.T @ mat, np.eye(8), atol=1e-5)
+
+
+def test_split_decoder_matches_fused_concat():
+    """split_decoder=True computes conv(concat(skip, up)) as two sliced-
+    kernel convs summed (no concat materialized — the 256³ decoder-conv
+    lever, docs/PERF.md): IDENTICAL parameter tree to the fused path, and
+    outputs equal to reduction-order tolerance in f32."""
+    import jax
+    import jax.numpy as jnp
+
+    from pmpu_tpu.models.unet import UNet
+
+    x = jnp.asarray(
+        np.random.default_rng(0).random((2, 16, 16, 1)), jnp.float32)
+    fused = UNet(n_classes=3, num_filters=(8, 16, 32))
+    split = UNet(n_classes=3, num_filters=(8, 16, 32), split_decoder=True)
+    v = fused.init(jax.random.key(0), x, train=False)
+    # parameter trees are interchangeable by construction
+    vs = split.init(jax.random.key(0), x, train=False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(vs)
+    for a, b in zip(jax.tree_util.tree_leaves(v), jax.tree_util.tree_leaves(vs)):
+        assert a.shape == b.shape
+    np.testing.assert_allclose(
+        np.asarray(fused.apply(v, x, train=False)),
+        np.asarray(split.apply(v, x, train=False)),
+        rtol=1e-5, atol=1e-5,
+    )
+
+    # probunet passthrough: same variables, same decode
+    from pmpu_tpu.models.prob_unet import ProbabilisticUNet
+
+    pn_f = ProbabilisticUNet(num_filters=(8, 16), latent_dim=3)
+    pn_s = ProbabilisticUNet(num_filters=(8, 16), latent_dim=3,
+                             split_decoder=True)
+    m = jnp.zeros((2, 16, 16, 1), jnp.float32)
+    vp = pn_f.init(jax.random.key(1), x, m, train=False,
+                   method=ProbabilisticUNet.initialize)
+    out_f = pn_f.apply(vp, x, m, train=False)
+    out_s = pn_s.apply(vp, x, m, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_f.unet_features), np.asarray(out_s.unet_features),
+        rtol=1e-5, atol=1e-5,
+    )
