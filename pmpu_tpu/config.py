@@ -92,6 +92,9 @@ class Config:
     # bf16 iff --bf16), "float32", "bfloat16", "uint8" (8-bit fixed point
     # vs per-volume max — half of bf16's upload bytes; the on-device
     # per-slice max normalization cancels the scale; see VolumeEvaluator)
+    split_decoder: bool = False  # decoder conv0 as conv(skip)+conv(up): no
+    # concat materialization (identical param tree — models/unet.py;
+    # measured at 256³ in docs/PERF.md)
     identity_affine: bool = False  # strict reference-parity exports: padded
     # cube + identity affine (eval.py:51-57). Default False = un-pad the
     # segmentation/uncertainty volumes to the source shape and carry the
@@ -127,6 +130,8 @@ class Config:
             num_filters=tuple(self.num_filters),
             dtype=jnp.bfloat16 if self.bf16 else None,
         )
+        if self.split_decoder:
+            kw["split_decoder"] = True
         if self.net == "unet" and self.loss != "auto":
             kw["loss_type"] = self.loss
         if self.class_weights is not None:
@@ -172,6 +177,10 @@ def _add_extension_args(p: argparse.ArgumentParser):
     g.add_argument("--eval-samples", dest="eval_samples", type=int, default=5)
     g.add_argument("--eval-batch", dest="eval_batch", type=int, default=0)
     g.add_argument("--data-parallel", dest="data_parallel", action="store_true")
+    g.add_argument("--split-decoder", dest="split_decoder", action="store_true",
+                   help="compute decoder convs as conv(skip)+conv(up) with "
+                   "sliced kernels (no concat materialization; identical "
+                   "checkpoints — see docs/PERF.md 256-cube A/B)")
     g.add_argument("--identity-affine", dest="identity_affine", action="store_true",
                    help="strict reference-parity exports: padded cube + "
                    "identity affine (eval.py:51-57). Default: un-pad to the "

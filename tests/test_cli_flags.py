@@ -75,3 +75,23 @@ def test_include_empty_slices_flag_reaches_index_map():
     full = build_index_map(lbls, filter=cfg.slice_filter)
     assert len(full) == 3 * 4  # every (view, slice) kept
     assert len(filtered) < len(full)
+
+
+def test_round5_flags_reach_config_and_task():
+    """--split-decoder / --identity-affine / --autosave-minutes /
+    --rss-limit-mb parse into Config; split_decoder reaches the model via
+    task_kwargs (identical param tree — test_models.py pins numerics)."""
+    from pmpu_tpu.train.tasks import make_task
+
+    p = argparse.ArgumentParser()
+    cfg = config_from_args(add_train_args(p).parse_args([
+        "--split-decoder", "--identity-affine",
+        "--autosave-minutes", "2.5", "--rss-limit-mb", "4096",
+        "--num-filters", "4,8",
+    ]))
+    assert cfg.split_decoder and cfg.identity_affine
+    assert cfg.autosave_minutes == 2.5 and cfg.rss_limit_mb == 4096
+    task = make_task("probunet", **cfg.task_kwargs())
+    assert task.net.split_decoder is True
+    task_u = make_task("unet", **cfg.task_kwargs())
+    assert task_u.net.split_decoder is True
