@@ -206,3 +206,37 @@ def test_split_decoder_matches_fused_concat():
         np.asarray(out_f.unet_features), np.asarray(out_s.unet_features),
         rtol=1e-5, atol=1e-5,
     )
+
+
+def test_split_decoder_gradients_match_fused():
+    """--split-decoder is a train-CLI flag too: loss AND gradients of the
+    split compute graph match the fused one to reduction-order tolerance
+    (same params; autodiff through the sliced-kernel convs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pmpu_tpu.models.unet import UNet
+    from pmpu_tpu.ops import losses
+
+    x = jnp.asarray(np.random.default_rng(3).random((2, 16, 16, 1)), jnp.float32)
+    y = jnp.asarray(np.random.default_rng(4).integers(0, 3, (2, 16, 16)), jnp.int32)
+    fused = UNet(n_classes=3, num_filters=(4, 8))
+    split = UNet(n_classes=3, num_filters=(4, 8), split_decoder=True)
+    v = fused.init(jax.random.key(0), x, train=False)
+
+    def loss_fn(net):
+        def f(params):
+            logits, _ = net.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                x, train=True, mutable=["batch_stats"],
+            )
+            return losses.cross_entropy(logits, y).mean()
+        return f
+
+    lf, gf = jax.value_and_grad(loss_fn(fused))(v["params"]), None
+    ls, gs = jax.value_and_grad(loss_fn(split))(v["params"]), None
+    np.testing.assert_allclose(float(lf[0]), float(ls[0]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(lf[1]),
+                    jax.tree_util.tree_leaves(ls[1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
