@@ -51,14 +51,21 @@ def main():
     vol = rng.random((s, s, s)).astype(np.float32)
 
     names = [c.strip() for c in args.configs.split(",") if c.strip()]
+    print(f"devices: {jax.devices()}", flush=True)
     # one shared parameter tree: split/fused have identical param trees by
-    # construction; int8 quantizes from the same tree
+    # construction; int8 quantizes from the same tree. Init at a SMALL
+    # spatial size (params are shape-independent for a CNN) — the full-size
+    # init forward is pure waste and its giant program once hung on a lost
+    # tunnel RPC for 80+ minutes.
     base_task = make_task("probunet", num_filters=nf, dtype=jnp.bfloat16)
+    t0 = time.perf_counter()
     variables = base_task.init_variables(
         jax.random.key(0),
-        jnp.zeros((2, s, s, 1), jnp.float32),
-        jnp.zeros((2, s, s, 1), jnp.int32),
+        jnp.zeros((2, 32, 32, 1), jnp.float32),
+        jnp.zeros((2, 32, 32, 1), jnp.int32),
     )
+    jax.block_until_ready(variables)
+    print(f"init done in {time.perf_counter() - t0:.1f}s", flush=True)
 
     evs, staged = {}, {}
     for name in names:
