@@ -11,7 +11,8 @@ DATA=${DATA:-/tmp/p6v_data}
 CUBE=${CUBE:-128}
 EPOCHS=${EPOCHS:-40}
 FILTERS=${FILTERS:-64,128,256,512,1024}
-BATCH=${BATCH:-64}
+BATCH=${BATCH:-16}
+LR=${LR:-0.0005}
 mkdir -p runs/perf
 
 python - <<EOF
@@ -30,8 +31,8 @@ print("dataset ready:", "$DATA")
 EOF
 
 python train.py -m probunet -d "$DATA/train" --num-views 6 --bf16 \
-    -e "$EPOCHS" -b "$BATCH" -l 0.005 -p 6 --include-empty-slices \
-    --num-filters "$FILTERS" --checkpoint-dir "$DATA/ckpt" 2>&1 | tail -5
+    -e "$EPOCHS" -b "$BATCH" -l "$LR" -p 6 --include-empty-slices \
+    --num-filters "$FILTERS" --checkpoint-every 10 --checkpoint-dir "$DATA/ckpt" 2>&1 | tail -5
 
 python eval.py -m probunet -f "$DATA/ckpt/probunet_model.pt" \
     -d "$DATA/test" --num-views 6 --bf16 --ged 16 --eval-samples 5 2>&1 | tail -12
