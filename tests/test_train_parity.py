@@ -115,3 +115,89 @@ def test_full_sgd_step_matches_torch():
         np.testing.assert_allclose(
             sd_after[name], tparams[name].numpy(), rtol=5e-3, atol=2e-4, err_msg=name
         )
+
+
+def test_probunet_train_step_matches_torch():
+    """The PROBUNET training step vs torch with identical weights and an
+    INJECTED common epsilon for z_q (the one stochastic input): 3-tower
+    forward in BN train mode, ELBO = Σ CE(reconstruction) + β·mean KL,
+    backward, clip_grad_value_(0.1), SGD(momentum) — loss, gradients, and
+    updated parameters must match. Closes the parity gap arm-C of the
+    round-5 head-to-head exposed: the unet step was pinned bitwise, the
+    flagship CVAE step was not."""
+    from tests.torch_mirror import TProbUNet
+
+    from pmpu_tpu.models.prob_unet import ProbabilisticUNet
+    from pmpu_tpu.ops.losses import elbo_loss
+    from pmpu_tpu.train.tasks import make_task
+
+    NFp = (4, 8)
+    beta, lr, mom = 10.0, 0.01, 0.9
+    tnet = TProbUNet(1, 3, NFp, latent_dim=6, no_convs_fcomb=4)
+    tnet.train()
+    variables = ckpt.import_torch_state_dict(
+        tnet.state_dict(), "probunet", num_filters=NFp, no_convs_fcomb=4
+    )
+    x = RNG.normal(size=(4, 16, 16, 1)).astype(np.float32)
+    y = RNG.integers(0, 3, size=(4, 16, 16)).astype(np.int64)
+    eps = RNG.normal(size=(4, 6)).astype(np.float32)
+
+    # ---- torch side (the reference loop's loss, compare_with_reference) --
+    tx_in = torch.from_numpy(x).permute(0, 3, 1, 2)
+    ty = torch.from_numpy(y)
+    feats, (mu_p, ls_p), (mu_q, ls_q) = tnet(tx_in, ty[:, None].to(torch.float32))
+    z_q = mu_q + torch.exp(ls_q) * torch.from_numpy(eps)
+    recon = tnet.fcomb(feats, z_q)
+    kl_t = 0.5 * (
+        2 * (ls_p - ls_q)
+        + (torch.exp(2 * ls_q) + (mu_q - mu_p) ** 2) / torch.exp(2 * ls_p)
+        - 1.0
+    ).sum(dim=1)
+    loss_t = torch.nn.functional.cross_entropy(recon, ty, reduction="none").sum() \
+        + beta * kl_t.mean()
+    loss_t.backward()
+    torch.nn.utils.clip_grad_value_(tnet.parameters(), 0.1)
+    opt = torch.optim.SGD(tnet.parameters(), lr=lr, momentum=mom)
+    opt.step()
+
+    # ---- jax side: task.train_loss with the SAME epsilon ----------------
+    task = make_task("probunet", n_classes=3, num_filters=NFp)
+    net = task.net
+
+    def loss_fn(params):
+        out, mut = net.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            jnp.asarray(x), jnp.asarray(y, jnp.float32)[..., None],
+            train=True, mutable=["batch_stats"],
+        )
+        z = out.posterior.loc + out.posterior.scale * jnp.asarray(eps)
+        logits = net.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            out.unet_features, z, method=ProbabilisticUNet.decode,
+        )
+        loss, _ = elbo_loss(logits, jnp.asarray(y), out.posterior, out.prior, beta, 3)
+        return loss
+
+    loss_j, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    np.testing.assert_allclose(float(loss_j), loss_t.item(), rtol=1e-4)
+
+    tx = make_optimizer(momentum=mom, clip=0.1, lr=lr)
+    opt_state = tx.init(variables["params"])
+    updates, _ = tx.update(grads, opt_state, variables["params"])
+    new_params = optax.apply_updates(variables["params"], updates)
+
+    # updated params must match torch's across all four towers
+    back = ckpt.export_torch_state_dict(
+        {"params": new_params, "batch_stats": variables["batch_stats"]},
+        "probunet", num_filters=NFp, no_convs_fcomb=4,
+    )
+    tparams = dict(tnet.named_parameters())
+    checked = 0
+    for name, p in tparams.items():
+        if name in back:
+            np.testing.assert_allclose(
+                back[name], p.detach().numpy(), rtol=5e-3, atol=2e-6,
+                err_msg=name,
+            )
+            checked += 1
+    assert checked >= 20, f"only {checked} parameter tensors compared"
