@@ -627,3 +627,46 @@ def test_volume_store_carries_source_geometry(tmp_path, use_native):
         )
         assert mm.geoms[0].shape == (16, 12, 10)
         np.testing.assert_allclose(mm.geoms[0].affine, a, rtol=1e-6)
+
+
+def test_batched_eval_exports_source_geometry(tmp_path):
+    """evaluate_store_batched's NIfTI exports get the same source-geometry
+    restoration as the sequential path (crop to pre-pad shape + source
+    affine), and source_geometry=False preserves the reference's raw
+    padded-cube identity exports."""
+    import jax
+
+    from pmpu_tpu.data import nifti
+    from pmpu_tpu.inference.engine import VolumeEvaluator
+    from pmpu_tpu.train.tasks import make_task
+
+    a = _aniso_affine()
+    (tmp_path / "images").mkdir()
+    (tmp_path / "labels").mkdir()
+    rng = np.random.default_rng(2)
+    for i in range(2):
+        vol = rng.random((16, 12, 10)).astype(np.float32)
+        nifti.save(tmp_path / "images" / f"v{i}.nii", vol)
+        nifti.save(tmp_path / "labels" / f"v{i}.nii",
+                   (vol > 0.7).astype(np.float32), a)
+    # geoms come from the IMAGE headers; write images with the affine too
+    for i in range(2):
+        vol = nifti.load(tmp_path / "images" / f"v{i}.nii")
+        nifti.save(tmp_path / "images" / f"v{i}.nii", vol, a)
+    store = VolumeStore.from_dirs(tmp_path / "images", tmp_path / "labels")
+    task = make_task("unet", n_classes=3, num_filters=(4, 8))
+    variables = task.init_variables(
+        jax.random.key(0),
+        np.zeros((1, 16, 16, 1), np.float32), np.zeros((1, 16, 16, 1), np.int32),
+    )
+    ev = VolumeEvaluator(task, eval_batch=8)
+    ev.evaluate_store_batched(variables, store, save_dir=str(tmp_path / "out"))
+    hdr = nifti.read_header(tmp_path / "out" / "v0.nii")
+    assert hdr.shape[:3] == (16, 12, 10)
+    np.testing.assert_allclose(hdr.affine, a, rtol=1e-6)
+
+    ev_id = VolumeEvaluator(task, eval_batch=8, source_geometry=False)
+    ev_id.evaluate_store_batched(variables, store, save_dir=str(tmp_path / "out_id"))
+    hdr_id = nifti.read_header(tmp_path / "out_id" / "v0.nii")
+    assert hdr_id.shape[:3] == (16, 16, 16)
+    np.testing.assert_allclose(hdr_id.affine, np.eye(4))
