@@ -69,15 +69,21 @@ def main():
 
     evs, staged = {}, {}
     for name in names:
+        # optional per-config chunk override: "int8@eb64" = eval_batch 64
+        eb = args.eval_batch
+        base = name
+        if "@eb" in name:
+            base, _, ebs = name.partition("@eb")
+            eb = int(ebs)
         task = (
             base_task
-            if "split" not in name
+            if "split" not in base
             else make_task("probunet", num_filters=nf, dtype=jnp.bfloat16,
                            split_decoder=True)
         )
         ev = VolumeEvaluator(
-            task, n_samples=args.samples, eval_batch=args.eval_batch,
-            quantize="int8" if "int8" in name else None,
+            task, n_samples=args.samples, eval_batch=eb,
+            quantize="int8" if "int8" in base else None,
         )
         qvars = ev._maybe_quantize(variables, sample_vol=vol)
         up = ev._upload(vol)
