@@ -103,6 +103,10 @@ class Config:
     # save a consistent (state, plateau, RNG-key) snapshot to
     # {net}_autosave.pt every N minutes of the train phase, so preemption
     # of a long epoch loses at most N minutes (0 = off)
+    epoch_offset: int = 0  # global epoch numbering base for a bounded-RSS
+    # re-exec'd process: checkpoint filenames and log lines count from
+    # here so a later process segment never clobbers an earlier segment's
+    # {net}_checkpoint{epoch}.pt files (loop control still runs 0..epochs)
     rss_limit_mb: float = 0.0  # training analogue of serve.py's bounded-RSS
     # watchdog: when host RSS exceeds this at an epoch boundary, save a
     # resume checkpoint and raise RssLimitExceeded — train.py re-execs
@@ -231,6 +235,10 @@ def _add_extension_args(p: argparse.ArgumentParser):
                    "an epoch boundary, checkpoint and re-exec with "
                    "-f <ckpt> -e <remaining> (fresh device client; the "
                    "serve.py watchdog's train-loop analogue)")
+    g.add_argument("--epoch-offset", dest="epoch_offset", type=int, default=0,
+                   help="global epoch numbering base (set automatically by "
+                   "the bounded-RSS re-exec so checkpoint files keep "
+                   "counting across process segments)")
     g.add_argument("--elastic-alpha", dest="elastic_alpha", type=float, default=0.0)
     g.add_argument("--eval-mode", dest="eval_mode", type=str, default="sequential",
                    choices=["sequential", "batched"],

@@ -64,12 +64,19 @@ class NiftiHeader:
     @property
     def affine(self) -> np.ndarray:
         """Voxel→world transform: sform when set, else the quaternion
-        qform, else identity (the NIfTI-1 'method 3 > 2 > 1' order)."""
+        qform, else pixdim-scaled identity (the NIfTI-1 'method 3 > 2 > 1'
+        order — method 1 carries spacing in pixdim alone, so a plain
+        identity here would silently claim 1 mm isotropic voxels for
+        legacy scans with both transform codes 0)."""
         a = np.eye(4, dtype=np.float64)
         if self.sform_code > 0:
             a[:3] = self.srow
         elif self.qform_code > 0:
             a = self.qform_affine
+        else:
+            for i in range(3):
+                sp = float(self.pixdim[i + 1])
+                a[i, i] = sp if np.isfinite(sp) and sp > 0 else 1.0
         return a
 
     @property

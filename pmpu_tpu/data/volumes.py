@@ -107,6 +107,17 @@ def geom_from_header(hdr, path: str = "") -> SourceGeom:
     return SourceGeom(_squeeze3d_shape(hdr.shape, path), hdr.affine)
 
 
+def restore_geometry(arr: np.ndarray, geom: SourceGeom | None, identity: bool):
+    """(volume, affine) for NIfTI export — THE shared policy for every
+    serving surface (engine exports, predict.py, serve.py): source
+    geometry (un-padded shape + input affine) by default, raw padded cube
+    + identity affine when ``identity`` or no geometry is known (the
+    reference's exact exports, ``eval.py:51-57``)."""
+    if identity or geom is None:
+        return arr, None
+    return crop_to_source(arr, geom.shape), geom.affine
+
+
 def _read_geoms(img_paths) -> list:
     """Header-only geometry pass (348 bytes/file; .gz reads just the
     stream head) — shared by every ``from_dirs`` loading mode."""
@@ -181,7 +192,7 @@ class VolumeStore:
         if mmap_dir is not None:
             store = cls._from_dirs_mmap(
                 img_paths, lbl_paths, ids, np.dtype(dtype), cube, mmap_dir,
-                use_native,
+                use_native, img_shapes=[g.shape for g in geoms],
             )
             store.geoms = geoms
             return store
@@ -242,7 +253,8 @@ class VolumeStore:
 
     @classmethod
     def _from_dirs_mmap(
-        cls, img_paths, lbl_paths, ids, dtype, cube, mmap_dir, use_native
+        cls, img_paths, lbl_paths, ids, dtype, cube, mmap_dir, use_native,
+        img_shapes=None,
     ) -> "VolumeStore":
         """Out-of-core pool build/reopen (see ``from_dirs`` ``mmap_dir``).
 
@@ -260,10 +272,15 @@ class VolumeStore:
             return [st.st_size, st.st_mtime_ns]
 
         # header-only pass: validate image/label shape agreement and find
-        # the global cube before any voxel data is read
+        # the global cube before any voxel data is read (image shapes come
+        # from the caller's geometry pass when available — no re-read)
         shapes = []
-        for ip, lp, name in zip(img_paths, lbl_paths, ids):
-            ish = _squeeze3d_shape(nifti.read_header(ip).shape, ip)
+        for i, (ip, lp, name) in enumerate(zip(img_paths, lbl_paths, ids)):
+            ish = (
+                img_shapes[i]
+                if img_shapes is not None
+                else _squeeze3d_shape(nifti.read_header(ip).shape, ip)
+            )
             lsh = _squeeze3d_shape(nifti.read_header(lp).shape, lp)
             if ish != lsh:
                 raise ValueError(f"{name}: image {ish} != label {lsh}")

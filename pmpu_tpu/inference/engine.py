@@ -833,14 +833,13 @@ class VolumeEvaluator:
         padded-cube identity-affine export (``eval.py:51-57``) when
         ``source_geometry`` is off or the store has no geometry (synthetic
         arrays)."""
-        geoms = getattr(store, "geoms", None) if self.source_geometry else None
-        geom = geoms[i] if geoms else None
-        if geom is None:
-            writer.save(path, arr)
-        else:
-            from pmpu_tpu.data.volumes import crop_to_source
+        from pmpu_tpu.data.volumes import restore_geometry
 
-            writer.save(path, crop_to_source(arr, geom.shape), geom.affine)
+        geoms = getattr(store, "geoms", None)
+        arr, aff = restore_geometry(
+            arr, geoms[i] if geoms else None, not self.source_geometry
+        )
+        writer.save(path, arr, aff)
 
     def ged_volume(self, variables, img_vol, truth_vol, n_ged_samples: int = 4, key=None):
         """Generalized Energy Distance over whole-volume segmentation samples:

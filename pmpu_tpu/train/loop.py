@@ -611,6 +611,14 @@ def _epoch_loop(
         val_pending = []
         first_images = None
         for i in range(val_steps):
+            # preemption (SIGTERM/interrupt) must be honored here too — a
+            # signal landing during the validation round would otherwise
+            # defer to the NEXT epoch's first train step, past a typical
+            # preemptor's grace window (code-review r5 finding). The
+            # state/key pair in `latest` is the end-of-train-phase commit,
+            # so the INTERRUPTED save stays consistent.
+            if interrupt_flag is not None and interrupt_flag():
+                raise KeyboardInterrupt
             sk = _next_key()
             if sv is not None:
                 t = jax.device_put(jnp.asarray(val_batches[i]), dat)
@@ -659,24 +667,35 @@ def _epoch_loop(
             history["val_loss"].append(avg_loss)
             history["val_dice"].append(avg_dice.tolist())
 
+        # global epoch number: a bounded-RSS re-exec'd segment keeps
+        # counting from where the previous process stopped, so its
+        # checkpoint files never clobber the earlier segment's
+        gepoch = epoch + cfg.epoch_offset
         if cfg.save_cp and (epoch + 1) % max(cfg.checkpoint_every, 1) == 0:
             if cfg.async_checkpoints:
                 # non-blocking: Orbax serializes device shards in the
                 # background while the next epoch trains; the previous
                 # in-flight save is drained first (one per target)
-                path = os.path.join(cfg.checkpoint_dir, f"{task.name}_checkpoint{epoch}.orbax")
+                path = os.path.join(cfg.checkpoint_dir, f"{task.name}_checkpoint{gepoch}.orbax")
                 _swap_pending(ckptr_box, ckpt.save_checkpoint_orbax_async(
                     path, state, plateau, key,
                     extra={"model_config": _model_config(cfg, task)},
                 ))
             else:
-                path = os.path.join(cfg.checkpoint_dir, f"{task.name}_checkpoint{epoch}.pt")
+                path = os.path.join(cfg.checkpoint_dir, f"{task.name}_checkpoint{gepoch}.pt")
                 ckpt.save_checkpoint(path, state, plateau, key, extra={"model_config": _model_config(cfg, task)})
             log.info("Saved model %s", path)
         log.info(
             "epoch %d/%d done (%.2fs/step median, %.0f slices/s/chip)",
-            epoch + 1, cfg.epochs, timer.sec_per_step, timer.slices_per_sec,
+            gepoch + 1, cfg.epochs + cfg.epoch_offset,
+            timer.sec_per_step, timer.slices_per_sec,
         )
+
+        # epoch-boundary preemption poll: catches a signal that arrived
+        # during the (potentially minutes-long, tunnel-bound) epoch
+        # checkpoint fetch above rather than deferring it a full epoch
+        if interrupt_flag is not None and interrupt_flag():
+            raise KeyboardInterrupt
 
         rss = _rss_mb() if cfg.rss_limit_mb else 0.0
         if cfg.rss_limit_mb and rss > cfg.rss_limit_mb and epoch + 1 < cfg.epochs:

@@ -24,18 +24,9 @@ import numpy as np
 
 from pmpu_tpu.config import Config, parse_num_filters
 from pmpu_tpu.data import nifti
-from pmpu_tpu.data.volumes import crop_to_source, geom_from_header, pad_to_cube
+from pmpu_tpu.data.volumes import geom_from_header, pad_to_cube, restore_geometry as _restore
 from pmpu_tpu.inference.engine import VolumeEvaluator
 from pmpu_tpu.train.tasks import make_task
-
-
-def _restore(arr, geom, identity: bool):
-    """(volume, affine) for export: source geometry (un-padded shape +
-    input affine) by default, raw padded cube + identity with
-    ``--identity-affine`` (reference ``eval.py:51-57`` parity)."""
-    if identity or geom is None:
-        return arr, None
-    return crop_to_source(arr, geom.shape), geom.affine
 
 
 def get_args():

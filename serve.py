@@ -36,7 +36,7 @@ import numpy as np
 
 from pmpu_tpu.config import Config, parse_num_filters
 from pmpu_tpu.data import nifti
-from pmpu_tpu.data.volumes import crop_to_source, geom_from_header, pad_to_cube
+from pmpu_tpu.data.volumes import geom_from_header, pad_to_cube, restore_geometry
 from pmpu_tpu.inference.engine import VolumeEvaluator
 from pmpu_tpu.train.tasks import make_task
 
@@ -405,17 +405,12 @@ def _serve_loop(args, cfg, task, variables, ev, cube, seen, sizes, key,
                 dt = time.perf_counter() - t0
                 for n, out in zip(names, outs):
                     seg, ent = out if args.uncertainty else (out, None)
-                    geom = None if args.identity_affine else geoms.get(n)
-                    if geom is not None:
-                        # source-geometry exports (default): un-pad to the
-                        # input shape, carry the input affine through
-                        seg = crop_to_source(seg, geom.shape)
-                        ent = None if ent is None else crop_to_source(ent, geom.shape)
-                        aff = geom.affine
-                    else:
-                        aff = None
+                    seg, aff = restore_geometry(
+                        seg, geoms.get(n), args.identity_affine)
                     writer.save(os.path.join(args.out, n), seg, aff)
                     if ent is not None:
+                        ent, aff = restore_geometry(
+                            ent, geoms.get(n), args.identity_affine)
                         writer.save(os.path.join(args.uncertainty, n), ent, aff)
                 served += len(names)
                 logging.info(

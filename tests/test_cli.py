@@ -613,10 +613,13 @@ def test_cli_train_rss_limit_reexec_completes(tmp_path):
     assert out.count("re-exec for bounded RSS") == 2, out
     assert (tmp_path / "ckpt" / "unet_rss_resume.pt").exists()
     assert (tmp_path / "ckpt" / "unet_model.pt").exists()
-    # the re-exec'd processes resumed rather than restarting: exactly one
-    # epoch runs per process (epochs remaining decremented each time)
-    assert "epoch 1/3 done" in out and "epoch 1/2 done" in out \
-        and "epoch 1/1 done" in out, out
+    # the re-exec'd processes resumed with GLOBAL epoch numbering (one
+    # epoch per process, --epoch-offset advanced each time) — per-epoch
+    # checkpoint files from earlier segments are never clobbered
+    assert "epoch 1/3 done" in out and "epoch 2/3 done" in out \
+        and "epoch 3/3 done" in out, out
+    for e in range(3):
+        assert (tmp_path / "ckpt" / f"unet_checkpoint{e}.pt").exists(), e
 
 
 @pytest.mark.slow

@@ -670,3 +670,25 @@ def test_batched_eval_exports_source_geometry(tmp_path):
     hdr_id = nifti.read_header(tmp_path / "out_id" / "v0.nii")
     assert hdr_id.shape[:3] == (16, 16, 16)
     np.testing.assert_allclose(hdr_id.affine, np.eye(4))
+
+
+def test_nifti_method1_pixdim_affine_fallback(tmp_path):
+    """NIfTI-1 'method 1': spacing carried ONLY in pixdim (both transform
+    codes 0) must surface as a pixdim-scaled identity affine — not plain
+    identity — so source-geometry exports preserve voxel spacing for
+    legacy scans (code-review r5 finding)."""
+    import struct
+
+    from pmpu_tpu.data import nifti
+
+    vol = np.zeros((4, 5, 6), np.float32)
+    nifti.save(tmp_path / "v.nii", vol)  # writes sform_code=1, identity
+    raw = bytearray((tmp_path / "v.nii").read_bytes())
+    struct.pack_into("<8f", raw, 76, 1.0, 0.5, 0.7, 2.0, 1.0, 1.0, 1.0, 1.0)
+    struct.pack_into("<h", raw, 252, 0)  # qform_code = 0
+    struct.pack_into("<h", raw, 254, 0)  # sform_code = 0
+    (tmp_path / "v.nii").write_bytes(bytes(raw))
+    hdr = nifti.read_header(tmp_path / "v.nii")
+    np.testing.assert_allclose(
+        hdr.affine, np.diag([0.5, 0.7, 2.0, 1.0]), rtol=1e-6
+    )

@@ -294,3 +294,9 @@ def test_resume_argv_rewrites_load_and_epochs():
     assert got == ["train.py", "--epochs=2", "--load=new.pt"]
     got = mod._resume_argv(["train.py", "-m", "unet"], "ck.pt", 4)
     assert got == ["train.py", "-m", "unet", "-f", "ck.pt", "-e", "4"]
+    # global epoch numbering across re-exec segments
+    got = mod._resume_argv(["train.py", "-e", "5"], "ck.pt", 3, epoch_offset=2)
+    assert got == ["train.py", "-e", "3", "-f", "ck.pt", "--epoch-offset", "2"]
+    got = mod._resume_argv(
+        ["train.py", "-e", "5", "--epoch-offset", "2"], "ck.pt", 1, epoch_offset=4)
+    assert got == ["train.py", "-e", "1", "--epoch-offset", "4", "-f", "ck.pt"]

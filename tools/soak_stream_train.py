@@ -58,6 +58,9 @@ def main():
     ap.add_argument("--sample-every", type=float, default=2.0)
     ap.add_argument("--cpu", action="store_true", help="CPU-forced CI-sized run")
     args = ap.parse_args()
+    # the subprocess runs with cwd=args.data, so a relative --data would
+    # resolve twice (data/data/images) — absolutize once here
+    args.data = os.path.abspath(args.data)
 
     # synthetic dataset on disk (the CLI path needs real NIfTI files)
     from pmpu_tpu.data import nifti

@@ -74,7 +74,10 @@ def main() -> int:
         # completes with a fresh device client (tunnel staging leak,
         # docs/PERF.md soak section)
         remaining = cfg.epochs - e.epochs_done
-        argv = _resume_argv(sys.argv, e.checkpoint_path, remaining)
+        argv = _resume_argv(
+            sys.argv, e.checkpoint_path, remaining,
+            epoch_offset=cfg.epoch_offset + e.epochs_done,
+        )
         logging.warning("re-exec for bounded RSS: %s", " ".join(argv))
         sys.stdout.flush()
         sys.stderr.flush()
@@ -86,10 +89,13 @@ def main() -> int:
         os.execv(sys.executable, [sys.executable] + argv)
 
 
-def _resume_argv(argv: list, ckpt_path: str, remaining: int) -> list:
+def _resume_argv(argv: list, ckpt_path: str, remaining: int,
+                 epoch_offset: int | None = None) -> list:
     """argv for the bounded-RSS re-exec: ``-f/--load`` pointed at the resume
-    checkpoint and ``-e/--epochs`` set to the remaining count (both replaced
-    in place when present, appended otherwise)."""
+    checkpoint, ``-e/--epochs`` set to the remaining count, and
+    ``--epoch-offset`` advanced so checkpoint files / log lines keep global
+    epoch numbering across process segments (each replaced in place when
+    present, appended otherwise)."""
     out = list(argv)
 
     def _set(flags, value):
@@ -105,6 +111,8 @@ def _resume_argv(argv: list, ckpt_path: str, remaining: int) -> list:
 
     _set(("-f", "--load"), ckpt_path)
     _set(("-e", "--epochs"), str(remaining))
+    if epoch_offset is not None:
+        _set(("--epoch-offset",), str(epoch_offset))
     return out
 
 
